@@ -1,0 +1,158 @@
+"""Flow-warping StyleGAN2 synthesis decoder + Direction motion basis.
+
+Functional re-design of the reference Synthesis/ToFlow/ToRGB/Direction
+(reference: src/nodes/models/float/styledecoder.py:368-534).
+
+Param pytree mirrors the checkpoint's ``motion_autoencoder.dec.*`` keys:
+
+    direction.weight                 (512, dim_m)
+    input.input                      (1, 512, 4, 4) learned constant
+    conv1.{conv.weight, conv.modulation.weight/bias, activate.bias}
+    convs.{0..2L-1}.…                StyledConv pairs (even = upsample)
+    to_rgbs.{0..L-1}.{conv.0.weight, conv.1.bias, bias}
+    to_flows.{0..L-1}.{conv.weight, conv.modulation.weight/bias, bias}
+
+TPU notes: the per-frame decode is expressed batch-first — the caller feeds
+a *frame batch* (the appearance latent + per-frame motion offsets) so every
+modulated conv runs as one big MXU matmul across frames; the reference
+decodes frame-by-frame with B=1 (FLOAT.py:113-169), which would waste >90%
+of the MXU.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    modulated_conv2d, fused_leaky_relu, equal_conv2d, upsample2x,
+    grid_sample_bilinear, identity_grid, equal_linear,
+)
+
+
+def direction(params, alpha):
+    """Project motion magnitudes (…, dim_m) onto the orthonormalized basis.
+
+    QR-orthonormalizes the learned (512, dim_m) basis then forms
+    sum_i alpha_i * Q[:, i]  ==  alpha @ Q.T  (the reference's
+    diag_embed+matmul+sum is exactly this contraction;
+    reference: styledecoder.py:428-444).  If ``alpha`` is None, returns Q.
+
+    QR note: jnp.linalg.qr and torch.linalg.qr both use Householder
+    reflections (LAPACK convention), so column signs agree.
+    """
+    w = params["weight"].astype(jnp.float32) + 1e-8
+    q, _ = jnp.linalg.qr(w)
+    if alpha is None:
+        return q
+    return jnp.einsum("...m,dm->...d", alpha.astype(jnp.float32), q)
+
+
+def _styled_conv(x, style, p, up: bool):
+    """StyledConv: modulated conv (+opt. upsample) -> fused lrelu.
+
+    NoiseInjection is identity at inference (noise=None;
+    reference: styledecoder.py:275-287) so it is omitted; its zero-weight
+    param is ignored on load.
+    """
+    out = modulated_conv2d(
+        x, style,
+        p["conv"]["weight"],
+        p["conv"]["modulation"]["weight"],
+        p["conv"]["modulation"]["bias"],
+        demodulate=True, up=up,
+    )
+    return fused_leaky_relu(out, p["activate"]["bias"].reshape(-1))
+
+
+def _to_rgb(x, p, skip=None):
+    """ToRGB: EqualConv2d(k1)+fused-lrelu, +bias, +2x-upsampled skip.
+
+    (reference: styledecoder.py:368-386 — note the ConvLayer here includes
+    the activation, unlike classic StyleGAN2.)
+    """
+    out = equal_conv2d(x, p["conv"]["0"]["weight"], stride=1, padding=0)
+    out = fused_leaky_relu(out, p["conv"]["1"]["bias"].reshape(-1))
+    out = out + p["bias"].reshape(1, 3, 1, 1).astype(out.dtype)
+    if skip is not None:
+        out = out + upsample2x(skip)
+    return out
+
+
+def _to_flow(x, style, feat, p, skip=None):
+    """ToFlow: predict (flow xy, mask) and warp ``feat`` onto the grid.
+
+    Returns (feat_warp, merged, raw_out, flow) matching the reference
+    contract (styledecoder.py:399-425):
+      sampler = tanh(out[:, 0:2]); mask = sigmoid(out[:, 2:3])
+      flow = sampler.xy + identity_grid
+      feat_warp = grid_sample(feat, flow) * mask
+      merged = feat_warp + x * (1 - mask)
+    """
+    out = modulated_conv2d(
+        x, style,
+        p["conv"]["weight"],
+        p["conv"]["modulation"]["weight"],
+        p["conv"]["modulation"]["bias"],
+        demodulate=False,
+    )
+    out = out + p["bias"].reshape(1, 3, 1, 1).astype(out.dtype)
+    if skip is not None:
+        out = out + upsample2x(skip)
+
+    size = x.shape[2]
+    grid = identity_grid(size, dtype=jnp.float32)[None]
+    sampler = jnp.tanh(out[:, 0:2].astype(jnp.float32))
+    mask = jax.nn.sigmoid(out[:, 2:3].astype(jnp.float32))
+    flow = jnp.transpose(sampler, (0, 2, 3, 1)) + grid          # (B, H, W, 2)
+
+    feat_b = jnp.broadcast_to(feat, (x.shape[0],) + feat.shape[1:]) \
+        if feat.shape[0] != x.shape[0] else feat
+    feat_warp = grid_sample_bilinear(feat_b.astype(x.dtype), flow.astype(x.dtype))
+    feat_warp = feat_warp * mask.astype(x.dtype)
+    merged = feat_warp + x * (1.0 - mask).astype(x.dtype)
+    return feat_warp, merged, out, flow
+
+
+def synthesis(params, wa, feats, size: int):
+    """Decode latent(s) into image(s).
+
+    wa:    (B, style_dim) combined appearance+motion latent (s_r + r_d_t);
+           the reference broadcasts it to all n_latent style slots
+           (styledecoder.py:510-511) — with per-slot identical styles the
+           repeat is free, so we just reuse ``wa`` per layer.
+    feats: list of 7 encoder skip maps coarse-first, each (Bf, C, H, W)
+           where Bf broadcasts against B (frame batching).
+
+    Returns (img (B, 3, S, S) in [-1, 1], flow at the 64² level).
+    """
+    b = wa.shape[0]
+    log_size = int(math.log2(size))
+    n_levels = log_size - 2                 # levels 8² .. size²
+
+    const = params["input"]["input"]
+    out = jnp.broadcast_to(const, (b,) + const.shape[1:]).astype(wa.dtype)
+    out = _styled_conv(out, wa, params["conv1"], up=False)
+
+    convs = params["convs"]
+    to_rgbs = params["to_rgbs"]
+    to_flows = params["to_flows"]
+
+    skip = None
+    skip_flow = None
+    flow64 = None
+    for lvl in range(n_levels):
+        out = _styled_conv(out, wa, convs[str(2 * lvl)], up=True)
+        out = _styled_conv(out, wa, convs[str(2 * lvl + 1)], up=False)
+        res = out.shape[2]
+        if res == 8:
+            out_warp, out, skip_flow, _ = _to_flow(out, wa, feats[lvl], to_flows[str(lvl)])
+            skip = _to_rgb(out_warp, to_rgbs[str(lvl)])
+        else:
+            out_warp, out, skip_flow, fl = _to_flow(out, wa, feats[lvl], to_flows[str(lvl)], skip_flow)
+            if res == 64:
+                flow64 = fl
+            skip = _to_rgb(out_warp, to_rgbs[str(lvl)], skip)
+
+    return skip, flow64

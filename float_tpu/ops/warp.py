@@ -12,6 +12,7 @@ variant can pin everything in VMEM later.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -35,16 +36,17 @@ def grid_sample_bilinear(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     pixel_center = ((g + 1) * size - 1) / 2.
     """
     b, c, h, w = feat.shape
-    gx = grid[..., 0]
-    gy = grid[..., 1]
+    ho, wo = grid.shape[1], grid.shape[2]
+    gx = grid[..., 0].reshape(b, -1)        # (B, P) with P = Ho*Wo
+    gy = grid[..., 1].reshape(b, -1)
 
-    fx = ((gx + 1.0) * w - 1.0) * 0.5       # (B, Ho, Wo) float pixel coords
+    fx = ((gx + 1.0) * w - 1.0) * 0.5       # float pixel coords
     fy = ((gy + 1.0) * h - 1.0) * 0.5
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    tx = (fx - x0).astype(feat.dtype)
-    ty = (fy - y0).astype(feat.dtype)
+    tx = (fx - x0).astype(feat.dtype)[..., None]       # (B, P, 1)
+    ty = (fy - y0).astype(feat.dtype)[..., None]
 
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
@@ -62,43 +64,23 @@ def grid_sample_bilinear(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     y0c = jnp.clip(y0i, 0, h - 1)
     y1c = jnp.clip(y1i, 0, h - 1)
 
-    # Separable gather: first along W for both x taps, then along H.
-    # feat: (B, C, H, W) -> gather W with (B, 1, 1, Ho*Wo) indices.
-    def gather_w(xi):
-        idx = xi.reshape(b, 1, 1, -1)                                   # (B,1,1,HoWo)
-        idx = jnp.broadcast_to(idx, (b, c, h, idx.shape[-1]))
-        return jnp.take_along_axis(feat, idx, axis=3)                   # (B,C,H,HoWo)
+    # Channels-last flat gather: operand (HW, C) rows are contiguous in the
+    # lane dimension, index tensor is only (B, P) — no broadcast over C/H
+    # (a take_along_axis formulation would materialise a (B,C,H,P) index
+    # tensor: tens of GiB at 512²).
+    fcl = jnp.transpose(feat, (0, 2, 3, 1)).reshape(b, h * w, c)
+    take = jax.vmap(lambda o, i: jnp.take(o, i, axis=0))
 
-    fx0 = gather_w(x0c)
-    fx1 = gather_w(x1c)
+    def tap(yc, xc, valid):
+        vals = take(fcl, yc * w + xc)                   # (B, P, C)
+        return jnp.where(valid[..., None], vals, 0)
 
-    def gather_h(fcol, yi):
-        # fcol: (B, C, H, P); for each output position p pick row yi[b, p]
-        # from column p — a diagonal gather along H.
-        p = fcol.shape[-1]
-        idx = jnp.broadcast_to(yi.reshape(b, 1, 1, -1), (b, c, 1, p))
-        return jnp.take_along_axis(fcol, idx, axis=2)[:, :, 0, :]       # (B,C,P)
+    f00 = tap(y0c, x0c, vx0 & vy0)
+    f01 = tap(y1c, x0c, vx0 & vy1)
+    f10 = tap(y0c, x1c, vx1 & vy0)
+    f11 = tap(y1c, x1c, vx1 & vy1)
 
-    f00 = gather_h(fx0, y0c)
-    f01 = gather_h(fx0, y1c)
-    f10 = gather_h(fx1, y0c)
-    f11 = gather_h(fx1, y1c)
-
-    ho, wo = grid.shape[1], grid.shape[2]
-    txf = tx.reshape(b, 1, -1)
-    tyf = ty.reshape(b, 1, -1)
-
-    m00 = (vx0 & vy0).reshape(b, 1, -1)
-    m01 = (vx0 & vy1).reshape(b, 1, -1)
-    m10 = (vx1 & vy0).reshape(b, 1, -1)
-    m11 = (vx1 & vy1).reshape(b, 1, -1)
-
-    f00 = jnp.where(m00, f00, 0)
-    f01 = jnp.where(m01, f01, 0)
-    f10 = jnp.where(m10, f10, 0)
-    f11 = jnp.where(m11, f11, 0)
-
-    top = f00 * (1 - txf) + f10 * txf
-    bot = f01 * (1 - txf) + f11 * txf
-    out = top * (1 - tyf) + bot * tyf
-    return out.reshape(b, c, ho, wo)
+    top = f00 * (1 - tx) + f10 * tx
+    bot = f01 * (1 - tx) + f11 * tx
+    out = top * (1 - ty) + bot * ty                     # (B, P, C)
+    return jnp.transpose(out.reshape(b, ho, wo, c), (0, 3, 1, 2))
