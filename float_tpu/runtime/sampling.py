@@ -1,0 +1,127 @@
+"""Chunked autoregressive flow-matching sampling — the generation hot loop.
+
+Re-design of the reference's per-chunk ODE loop
+(reference: src/nodes/models/float/FLOAT.py:171-253 and the shared helper
+src/nodes/nodes_adv.py:545-694) as a single ``lax.scan`` over chunks with an
+inner fixed-step ODE scan, all inside one jit program:
+
+    carry = (prev_x, prev_wa, prev_we)      # 10-frame autoregressive state
+    per chunk:  x0 ~ N(0, I) (B, 50, dim_w)
+                r_d_chunk = ODE(fmt_cfg_vector_field, x0, linspace(0,1,nfe))
+                carry <- last 10 frames of (r_d_chunk, wa_chunk, we_chunk)
+
+Shapes are fully static: the caller pads wa/we to n_chunks*frames_per_clip
+(edge replicate — reference FLOAT.py:226-227) and trims the result to T.
+Chunks are inherently sequential (autoregressive conditioning, SURVEY §5.7);
+parallelism comes from the batch dim and the CFG 3/4-way batch.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FloatConfig
+from ..models.fmt import fmt_forward_cfg
+from ..ops import odeint_fixed
+
+
+def pad_to_chunks(x: jnp.ndarray, frames_per_clip: int) -> jnp.ndarray:
+    """Right-pad (B, T, D) along T to a multiple of frames_per_clip with edge
+    replication (parity with F.pad mode='replicate')."""
+    t = x.shape[1]
+    target = math.ceil(t / frames_per_clip) * frames_per_clip
+    if target == t:
+        return x
+    return jnp.pad(x, ((0, 0), (0, target - t), (0, 0)), mode="edge")
+
+
+def sample_motion_latents(
+    fmt_params,
+    r_s: jnp.ndarray,                 # (B, dim_w)
+    wa: jnp.ndarray,                  # (B, T, dim_a)
+    we: jnp.ndarray,                  # (B, 1, E) static | (B, T, E) dynamic
+    *,
+    cfg: FloatConfig,
+    a_cfg_scale: Optional[float] = None,
+    e_cfg_scale: Optional[float] = None,
+    r_cfg_scale: Optional[float] = None,
+    nfe: Optional[int] = None,
+    ode_method: Optional[str] = None,
+    key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,   # (n_chunks, B, clip, dim_w) override
+) -> jnp.ndarray:
+    """Generate motion latents r_d (B, T, dim_w) for T = wa.shape[1] frames.
+
+    Either ``key`` (JAX PRNG; per-chunk noise via fold_in) or explicit
+    ``noise`` must be given — the latter enables bit-level parity harnesses
+    against recorded torch noise.
+    """
+    a_s = cfg.a_cfg_scale if a_cfg_scale is None else a_cfg_scale
+    e_s = cfg.e_cfg_scale if e_cfg_scale is None else e_cfg_scale
+    r_s_scale = cfg.r_cfg_scale if r_cfg_scale is None else r_cfg_scale
+    nfe = cfg.nfe if nfe is None else nfe
+    method = cfg.ode_method if ode_method is None else ode_method
+
+    b, t_frames, dim_w = wa.shape
+    clip = cfg.num_frames_for_clip
+    prev = cfg.num_prev_frames
+    n_chunks = math.ceil(t_frames / clip)
+    dynamic = we.shape[1] > 1
+    dim_e = we.shape[2]
+
+    wa_p = pad_to_chunks(wa, clip)
+    wa_chunks = jnp.moveaxis(wa_p.reshape(b, n_chunks, clip, dim_w), 1, 0)
+    if dynamic:
+        we_p = pad_to_chunks(we, clip)
+        we_chunks = jnp.moveaxis(we_p.reshape(b, n_chunks, clip, dim_e), 1, 0)
+    else:
+        we_chunks = None
+
+    if noise is None:
+        if key is None:
+            raise ValueError("pass either key= or noise=")
+        noise = jax.random.normal(key, (n_chunks, b, clip, dim_w), dtype=wa.dtype)
+    else:
+        noise = jnp.asarray(noise, dtype=wa.dtype)
+        if noise.shape != (n_chunks, b, clip, dim_w):
+            raise ValueError(f"noise shape {noise.shape} != {(n_chunks, b, clip, dim_w)}")
+
+    time_grid = jnp.linspace(0.0, 1.0, nfe)
+    fmt_kw = dict(depth=cfg.fmt_depth, num_heads=cfg.num_heads,
+                  attention_window=cfg.attention_window)
+    cfg_kw = dict(a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_s_scale,
+                  include_r_cfg=cfg.include_r_cfg)
+
+    def chunk_step(carry, inputs):
+        prev_x, prev_wa, prev_we = carry
+        if dynamic:
+            x0, wa_t, we_t = inputs
+        else:
+            x0, wa_t = inputs
+            we_t = we                      # static (B, 1, E), closed over
+
+        def field(tt, zt):
+            out = fmt_forward_cfg(
+                fmt_params, jnp.reshape(tt, (1,)), zt, wa_t, r_s, we_t,
+                prev_x, prev_wa,
+                prev_we if dynamic else None,
+                **cfg_kw, **fmt_kw)
+            return out[:, prev:]
+
+        sample_t = odeint_fixed(field, x0, time_grid, method=method)
+        new_prev_we = we_t[:, -prev:] if dynamic else prev_we
+        return (sample_t[:, -prev:], wa_t[:, -prev:], new_prev_we), sample_t
+
+    init = (
+        jnp.zeros((b, prev, dim_w), wa.dtype),
+        jnp.zeros((b, prev, dim_w), wa.dtype),
+        jnp.zeros((b, prev, dim_e), wa.dtype),
+    )
+    xs = (noise, wa_chunks, we_chunks) if dynamic else (noise, wa_chunks)
+    _, chunks = jax.lax.scan(chunk_step, init, xs)
+
+    r_d = jnp.moveaxis(chunks, 0, 1).reshape(b, n_chunks * clip, dim_w)
+    return r_d[:, :t_frames]
