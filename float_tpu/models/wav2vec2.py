@@ -1,0 +1,209 @@
+"""wav2vec2 towers — audio content encoder (base) and SER emotion encoder
+(large), pure-functional JAX.
+
+Re-designs the reference's HF-subclassed models
+(reference: src/nodes/models/wav2vec2.py, wav2vec2_ser.py) against the HF
+Wav2Vec2 architecture spec.  Two config axes matter here (SURVEY §2.2/2.3):
+
+- base (wav2vec2-base-960h): group-norm first conv layer, post-LayerNorm
+  encoder blocks, hidden 768, 12 layers;
+- large SER (wav2vec2-large-xlsr-53): per-layer LayerNorm conv stack,
+  pre-LayerNorm ("stable") encoder blocks with a final LayerNorm, hidden
+  1024, 24 layers, mean-pool + classification head.
+
+Param pytrees follow the HF state_dict key layout (see models.init);
+the positional conv's weight-norm is folded at load time.
+
+TPU notes: the 7-conv feature extractor is a chain of thin 1-D convs that
+XLA lowers to im2col matmuls; everything downstream is big (T×768/1024)
+GEMMs.  The custom ``seq_len`` linear interpolation (the reference's key
+trick, wav2vec2.py:184-197) happens right after the conv stack so the
+transformer runs on the *frame grid* (25 fps), not the 49.95 Hz conv grid.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Wav2Vec2Config
+from ..ops import linear_interpolate_time
+
+
+def _linear(p, x):
+    w = p["weight"].astype(x.dtype)
+    out = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
+    return (out + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _layer_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["weight"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _conv1d(x, w, b=None, stride=1, padding=0, groups=1):
+    """x: (B, C, T), w: (O, I/groups, K) torch layout."""
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride,),
+        padding=((padding, padding),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b.reshape(1, -1, 1).astype(x.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# feature extractor (raw wave -> 49.95 Hz conv features)
+# ---------------------------------------------------------------------------
+
+def feature_extractor(params, wave: jnp.ndarray, cfg: Wav2Vec2Config) -> jnp.ndarray:
+    """wave (B, N) -> conv features (B, T_conv, conv_dim[-1])."""
+    x = wave[:, None, :]                                   # (B, 1, N)
+    for i, (k, s) in enumerate(zip(cfg.conv_kernel, cfg.conv_stride)):
+        p = params["conv_layers"][str(i)]
+        x = _conv1d(x, p["conv"]["weight"], p["conv"].get("bias"), stride=s)
+        if cfg.feat_extract_norm == "group" and i == 0:
+            # GroupNorm(groups=C): per-channel normalization over time
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=2, keepdims=True)
+            var = jnp.var(xf, axis=2, keepdims=True)
+            xf = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+            x = (xf * p["layer_norm"]["weight"].reshape(1, -1, 1)
+                 + p["layer_norm"]["bias"].reshape(1, -1, 1)).astype(x.dtype)
+        elif cfg.feat_extract_norm == "layer":
+            x = jnp.swapaxes(x, 1, 2)
+            x = _layer_norm(p["layer_norm"], x)
+            x = jnp.swapaxes(x, 1, 2)
+        x = jax.nn.gelu(x, approximate=False)
+    return jnp.swapaxes(x, 1, 2)                           # (B, T_conv, D)
+
+
+# ---------------------------------------------------------------------------
+# transformer encoder
+# ---------------------------------------------------------------------------
+
+def _pos_conv_embed(params, x, cfg: Wav2Vec2Config):
+    """Grouped positional conv (kernel 128, groups 16, 'same'-ish padding:
+    pad 64 then drop the trailing sample for even kernels), GELU."""
+    h = jnp.swapaxes(x, 1, 2)                              # (B, C, T)
+    p = params["conv"]
+    h = _conv1d(h, p["weight"], p.get("bias"),
+                padding=cfg.num_conv_pos_embeddings // 2,
+                groups=cfg.num_conv_pos_embedding_groups)
+    if cfg.num_conv_pos_embeddings % 2 == 0:
+        h = h[:, :, :-1]
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.swapaxes(h, 1, 2)
+
+
+def _attention(p, x, num_heads: int):
+    b, t, c = x.shape
+    hd = c // num_heads
+    q = _linear(p["q_proj"], x) * (hd ** -0.5)
+    k = _linear(p["k_proj"], x)
+    v = _linear(p["v_proj"], x)
+    q = q.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    att = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", att, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+    return _linear(p["out_proj"], out)
+
+
+def _feed_forward(p, x):
+    h = jax.nn.gelu(_linear(p["intermediate_dense"], x), approximate=False)
+    return _linear(p["output_dense"], h)
+
+
+def _encoder_layer_post_ln(p, x, num_heads):
+    x = x + _attention(p["attention"], x, num_heads)
+    x = _layer_norm(p["layer_norm"], x)
+    x = x + _feed_forward(p["feed_forward"], x)
+    return _layer_norm(p["final_layer_norm"], x)
+
+
+def _encoder_layer_pre_ln(p, x, num_heads):
+    x = x + _attention(p["attention"], _layer_norm(p["layer_norm"], x), num_heads)
+    return x + _feed_forward(p["feed_forward"], _layer_norm(p["final_layer_norm"], x))
+
+
+class EncoderOutput(NamedTuple):
+    last_hidden_state: jnp.ndarray
+    hidden_states: tuple        # (num_layers + 1) entries, HF layout
+
+
+def encoder(params, x, cfg: Wav2Vec2Config, collect_hidden: bool = False) -> EncoderOutput:
+    """Transformer encoder over projected features (B, T, H)."""
+    x = x + _pos_conv_embed(params["pos_conv_embed"], x, cfg)
+    hidden = []
+    if cfg.do_stable_layer_norm:
+        for i in range(cfg.num_hidden_layers):
+            if collect_hidden:
+                hidden.append(x)
+            x = _encoder_layer_pre_ln(params["layers"][str(i)], x,
+                                      cfg.num_attention_heads)
+        x = _layer_norm(params["layer_norm"], x)
+    else:
+        x = _layer_norm(params["layer_norm"], x)
+        for i in range(cfg.num_hidden_layers):
+            if collect_hidden:
+                hidden.append(x)
+            x = _encoder_layer_post_ln(params["layers"][str(i)], x,
+                                       cfg.num_attention_heads)
+    if collect_hidden:
+        hidden.append(x)
+    return EncoderOutput(x, tuple(hidden))
+
+
+# ---------------------------------------------------------------------------
+# full models
+# ---------------------------------------------------------------------------
+
+def wav2vec2_frame_features(params, wave: jnp.ndarray, seq_len: int,
+                            cfg: Wav2Vec2Config,
+                            collect_hidden: bool = True) -> EncoderOutput:
+    """The reference Wav2VecModel.forward: conv features linearly resampled
+    to ``seq_len`` video frames, then projected + encoded
+    (reference: wav2vec2.py:33-98)."""
+    feats = feature_extractor(params["feature_extractor"], wave, cfg)
+    feats = linear_interpolate_time(feats, seq_len)
+    h = _layer_norm(params["feature_projection"]["layer_norm"], feats)
+    h = _linear(params["feature_projection"]["projection"], h)
+    return encoder(params["encoder"], h, cfg, collect_hidden=collect_hidden)
+
+
+def wav2vec2_standard(params, wave: jnp.ndarray, cfg: Wav2Vec2Config) -> jnp.ndarray:
+    """Standard HF Wav2Vec2Model forward (no frame resampling) -> last
+    hidden state (B, T_conv, H).  Used by the SER tower."""
+    feats = feature_extractor(params["feature_extractor"], wave, cfg)
+    h = _layer_norm(params["feature_projection"]["layer_norm"], feats)
+    h = _linear(params["feature_projection"]["projection"], h)
+    return encoder(params["encoder"], h, cfg, collect_hidden=False).last_hidden_state
+
+
+def ser_logits(params, wave: jnp.ndarray, cfg: Wav2Vec2Config) -> jnp.ndarray:
+    """Speech-emotion classifier: mean-pool over time + dense/tanh/out_proj
+    (reference: wav2vec2_ser.py:23-124, pooling_mode='mean')."""
+    h = wav2vec2_standard(params, wave, cfg)
+    pooled = jnp.mean(h, axis=1)
+    x = _linear(params["classifier"]["dense"], pooled)
+    x = jnp.tanh(x)
+    return _linear(params["classifier"]["out_proj"], x)
+
+
+def predict_emotion(params, wave: jnp.ndarray, cfg: Wav2Vec2Config) -> jnp.ndarray:
+    """Softmax emotion scores (B, num_labels)
+    (reference: FLOAT.py:396-401)."""
+    return jax.nn.softmax(ser_logits(params, wave, cfg).astype(jnp.float32), axis=-1)
