@@ -1,0 +1,193 @@
+"""FloatPipeline — the InferenceAgent equivalent: jitted stage functions.
+
+Three compiled stages (reference call stack: SURVEY §3.2):
+
+    encode_image : (1, 3, S, S) [-1,1]  -> s_r, r_s_lambda, feats, r_s
+    sample       : r_s + wa + we (+key) -> r_d motion latents
+    decode       : s_r + feats + r_d    -> (T, S, S, 3) frames in [0,1]
+
+plus the two audio encoders (content wa, emotion we).  Compilation is cached
+per static shape key (T frames for audio, n_chunks for sampling, frame-chunk
+count for decode); the "first run is warm-up" notion of the reference
+(FLOAT.py:33) maps to XLA compile cache population.
+
+Stateless by design: all parameters travel in a params dict; per-call
+configuration is explicit (no reference-style opt mutation).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (FloatConfig, Wav2Vec2Config, WAV2VEC2_BASE,
+                      WAV2VEC2_LARGE_SER, EMOTION_LABELS)
+from ..models.encoder import encode_image as _encode_image_fn
+from ..models.synthesis import direction as _direction
+from ..models.audio_encoder import encode_audio as _encode_audio_fn
+from ..models.wav2vec2 import predict_emotion as _predict_emotion_fn
+from .sampling import sample_motion_latents
+from .decode import decode_latents
+
+
+def audio_num_frames(n_samples: int, cfg: FloatConfig) -> int:
+    """T = ceil(N * fps / sr) (reference: FLOAT.py:270)."""
+    return math.ceil(n_samples * cfg.fps / cfg.sampling_rate)
+
+
+def one_hot_emotion(label: str, dim_e: int = 7) -> jnp.ndarray:
+    """(1, 1, E) one-hot for a named emotion (reference: FLOAT.py:200)."""
+    idx = EMOTION_LABELS.index(label.lower())
+    return jax.nn.one_hot(jnp.asarray([[idx]]), dim_e)
+
+
+class FloatPipeline:
+    """End-to-end talking-portrait generation pipeline.
+
+    params: {'encoder', 'synthesis', 'audio_encoder': {'wav2vec2',
+    'audio_projection'}, 'emotion', 'fmt'} — the layout produced by
+    io.checkpoint.load_unified_checkpoint or models.init.
+    """
+
+    def __init__(self, params, cfg: FloatConfig = FloatConfig(),
+                 w2v_cfg: Wav2Vec2Config = WAV2VEC2_BASE,
+                 ser_cfg: Wav2Vec2Config = WAV2VEC2_LARGE_SER):
+        self.params = params
+        self.cfg = cfg.validate()
+        self.w2v_cfg = w2v_cfg
+        self.ser_cfg = ser_cfg
+        self._build()
+
+    def _build(self):
+        cfg, w2v, ser = self.cfg, self.w2v_cfg, self.ser_cfg
+
+        @jax.jit
+        def _encode_image(enc_params, syn_params, img):
+            s_r, lam, feats = _encode_image_fn(enc_params, img, cfg.input_size, cfg.dim_w)
+            r_s = _direction(syn_params["direction"], lam)
+            return s_r, lam, feats, r_s
+
+        self._encode_image = _encode_image
+
+        @partial(jax.jit, static_argnames=("seq_len",))
+        def _encode_audio(ae_params, wave, seq_len):
+            return _encode_audio_fn(ae_params, wave, seq_len, cfg, w2v)
+
+        self._encode_audio = _encode_audio
+
+        @jax.jit
+        def _emotion(emo_params, wave):
+            return _predict_emotion_fn(emo_params, wave, ser)
+
+        self._emotion = _emotion
+
+        @partial(jax.jit, static_argnames=("a_s", "e_s", "r_s_scale", "nfe", "method"))
+        def _sample(fmt_params, r_s, wa, we, key, a_s, e_s, r_s_scale, nfe, method):
+            return sample_motion_latents(
+                fmt_params, r_s, wa, we, cfg=cfg, key=key,
+                a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_s_scale,
+                nfe=nfe, ode_method=method)
+
+        self._sample = _sample
+
+        # decode_latents manages its own per-chunk jit (python chunk loop)
+        def _decode(syn_params, s_r, feats, r_d):
+            return decode_latents(
+                syn_params, s_r, feats, r_d,
+                size=cfg.input_size, decode_batch=cfg.decode_batch,
+                compute_dtype=jnp.dtype(cfg.compute_dtype))
+
+        self._decode = _decode
+
+    # ------------------------------------------------------------------
+    # stage API (the Advanced-node surface maps onto these)
+    # ------------------------------------------------------------------
+
+    def encode_image(self, img: jnp.ndarray):
+        """img (B, 3, S, S) in [-1, 1] -> (s_r, r_s_lambda, feats, r_s)."""
+        return self._encode_image(self.params["encoder"],
+                                  self.params["synthesis"], img)
+
+    def encode_audio(self, wave: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+        """wave (B, N) normalized -> wa (B, seq_len, dim_w)."""
+        return self._encode_audio(self.params["audio_encoder"], wave, seq_len)
+
+    def predict_emotion(self, wave: jnp.ndarray) -> jnp.ndarray:
+        """wave (B, N) -> softmax scores (B, E)."""
+        return self._emotion(self.params["emotion"], wave)
+
+    def emotion_latent(self, wave: Optional[jnp.ndarray], emotion: str = "none"):
+        """we (B, 1, E): predicted from audio or one-hot by label
+        (reference: FLOAT.py:196-200)."""
+        if emotion and emotion.lower() in EMOTION_LABELS:
+            return one_hot_emotion(emotion, self.cfg.dim_e)
+        if wave is None:
+            raise ValueError("emotion='none' requires audio")
+        return self.predict_emotion(wave)[:, None, :]
+
+    def sample(self, r_s, wa, we, *, seed: Optional[int] = None,
+               a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
+               nfe=None, ode_method=None) -> jnp.ndarray:
+        """r_d (B, T, dim_w) via chunked CFG-ODE sampling."""
+        cfg = self.cfg
+        key = jax.random.key(cfg.seed if seed is None else seed)
+        return self._sample(
+            self.params["fmt"], r_s, wa, we, key,
+            cfg.a_cfg_scale if a_cfg_scale is None else a_cfg_scale,
+            cfg.e_cfg_scale if e_cfg_scale is None else e_cfg_scale,
+            cfg.r_cfg_scale if r_cfg_scale is None else r_cfg_scale,
+            cfg.nfe if nfe is None else nfe,
+            cfg.ode_method if ode_method is None else ode_method)
+
+    def decode(self, s_r, feats, r_d) -> jnp.ndarray:
+        """(1, dim_w) + feats + (1|T, T, dim_w) -> (T, S, S, 3) in [0, 1]."""
+        if r_d.ndim == 3:
+            r_d = r_d[0]
+        return self._decode(self.params["synthesis"], s_r, feats, r_d)
+
+    # ------------------------------------------------------------------
+    # one-shot generation (the FloatProcess node equivalent)
+    # ------------------------------------------------------------------
+
+    def generate(self, img: jnp.ndarray, wave: jnp.ndarray, *,
+                 emotion: str = "none", seed: Optional[int] = None,
+                 a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
+                 nfe=None, ode_method=None) -> jnp.ndarray:
+        """Full pipeline: (1,3,S,S) image + (1,N) audio -> (T,S,S,3) frames.
+
+        Mirrors FLOAT.inference (reference: FLOAT.py:255-298).
+        """
+        t_frames = audio_num_frames(wave.shape[-1], self.cfg)
+        s_r, _lam, feats, r_s = self.encode_image(img)
+        wa = self.encode_audio(wave, t_frames)
+        we = self.emotion_latent(wave, emotion)
+        r_d = self.sample(r_s, wa, we, seed=seed,
+                          a_cfg_scale=a_cfg_scale, e_cfg_scale=e_cfg_scale,
+                          r_cfg_scale=r_cfg_scale, nfe=nfe, ode_method=ode_method)
+        return self.decode(s_r, feats, r_d)
+
+
+def build_synthetic_pipeline(cfg: FloatConfig = FloatConfig(),
+                             w2v_cfg: Wav2Vec2Config = WAV2VEC2_BASE,
+                             ser_cfg: Wav2Vec2Config = WAV2VEC2_LARGE_SER,
+                             seed: int = 0) -> FloatPipeline:
+    """Pipeline with randomly initialized weights (tests / benchmarks)."""
+    from ..models import init as minit
+    params = {
+        "encoder": minit.init_encoder(cfg.input_size, cfg.dim_w, cfg.dim_m, seed),
+        "synthesis": minit.init_synthesis(cfg.input_size, cfg.dim_w, cfg.dim_m, seed + 1),
+        "audio_encoder": {
+            "wav2vec2": minit.init_wav2vec2(w2v_cfg, seed + 2),
+            "audio_projection": minit.init_audio_projection(
+                (w2v_cfg.hidden_size if cfg.only_last_features
+                 else w2v_cfg.num_hidden_layers * w2v_cfg.hidden_size),
+                cfg.dim_w, seed + 3),
+        },
+        "emotion": minit.init_wav2vec2(ser_cfg, seed + 4),
+        "fmt": minit.init_fmt(cfg, seed + 5),
+    }
+    return FloatPipeline(params, cfg, w2v_cfg, ser_cfg)
