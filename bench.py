@@ -1,0 +1,79 @@
+"""Benchmark: end-to-end talking-head generation throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config = BASELINE.json config 1: 512×512 portrait + 10 s audio @ 16 kHz,
+wav2vec2-base audio encoder, SER emotion predictor, 10 Euler ODE steps,
+25 fps => T = 250 frames.  Weights are synthetic when no checkpoint is
+present (identical FLOP/shape profile to the real 617.5 M-param model).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target is >250 frames/s at 512² on one v5e chip, so vs_baseline is
+value / 250.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from float_tpu.config import FloatConfig
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline, audio_num_frames
+    from float_tpu.io.checkpoint import load_unified_checkpoint
+    from float_tpu.runtime.pipeline import FloatPipeline
+
+    cfg = FloatConfig(compute_dtype="bfloat16", decode_batch=16)
+
+    ckpt = os.environ.get("FLOAT_CKPT", "models/float/FLOAT.safetensors")
+    if os.path.exists(ckpt):
+        params = load_unified_checkpoint(ckpt)
+        pipe = FloatPipeline(params, cfg)
+        weights = "real"
+    else:
+        pipe = build_synthetic_pipeline(cfg)
+        weights = "synthetic"
+
+    rng = np.random.default_rng(0)
+    n_samples = 160000                       # 10 s @ 16 kHz
+    t_frames = audio_num_frames(n_samples, cfg)
+    img = jnp.asarray(rng.standard_normal((1, 3, 512, 512)).astype(np.float32) * 0.3)
+    waves = [jnp.asarray(rng.standard_normal((1, n_samples)).astype(np.float32) * 0.1)
+             for _ in range(3)]
+
+    # warm-up / compile
+    frames = pipe.generate(img, waves[0], emotion="none", seed=15)
+    np.asarray(frames[-1])                   # force full materialization
+
+    # timed: vary audio + seed each rep so nothing dedups
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        frames = pipe.generate(img, waves[i % len(waves)], emotion="none",
+                               seed=15 + i)
+        frames.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    fps = t_frames / dt
+    result = {
+        "metric": "e2e_frames_per_sec_512px",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 250.0, 3),
+    }
+    print(json.dumps(result))
+    print(f"# clip latency {dt:.3f}s for {t_frames} frames (10s audio), "
+          f"weights={weights}, dtype={cfg.compute_dtype}, "
+          f"decode_batch={cfg.decode_batch}, device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
