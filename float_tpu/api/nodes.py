@@ -1,0 +1,495 @@
+"""The 18 node-equivalent operations (reference node surface, SURVEY §2.8).
+
+Same operation names, parameter names and input/output contracts as the
+reference's ComfyUI nodes, exposed as plain functions over numpy/jnp
+arrays, so every example-workflow topology is expressible programmatically
+(and by the CLI workflow runner).
+
+Tiers:
+- Regular  : load_float_models, float_process
+- Advanced : face_align, advanced_parameters, encode_image_to_latents,
+             get_identity_reference, encode_audio_to_wa, encode_emotion_to_we,
+             sample_motion_sequence, decode_latents_to_images
+- Very Adv : load_wav2vec_model, load_audio_projection, load_emotion_model,
+             load_float_encoder, load_float_synthesis, load_fmt_model,
+             audio_preprocess_and_feature_extract, apply_audio_projection,
+             extract_emotion / extract_emotion_dynamic, apply_float_encoder,
+             get_identity_reference_va, sample_motion_sequence_va,
+             apply_float_synthesis
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import (FloatConfig, EMOTION_LABELS, apply_adv_options)
+from ..audio.resample import comfy_audio_to_mono_16k
+from ..audio.features import extract_features, normalize_waveform
+from ..image.transform import comfy_image_to_model_input, to_model_input
+from ..image.rgba import image_to_uint8
+from ..image.face_align import face_align_crop
+from ..io import checkpoint as ckpt
+from ..io.hf import load_wav2vec2_dir
+from ..models.audio_encoder import (audio_projection as _audio_projection_fn,
+                                    pad_wave_to_frames, stacked_features)
+from ..models.encoder import encode_image as _encode_image_fn
+from ..models.synthesis import direction as _direction_fn
+from ..models.wav2vec2 import predict_emotion as _predict_emotion, ser_logits
+from ..runtime.decode import decode_latents
+from ..runtime.pipeline import FloatPipeline, audio_num_frames, one_hot_emotion
+from ..runtime.sampling import sample_motion_latents
+from ..ops import nearest_interpolate_time
+from .types import (AppearancePipe, AudioProjectionLayer, BBox, EmotionModelPipe,
+                    EncoderModel, FloatPipe, FMTModel, SynthesisModel, Wav2VecPipe)
+
+logger = logging.getLogger("float_tpu.api")
+
+AudioLike = Union[Dict[str, Any], np.ndarray]
+
+
+def _audio_to_waves(audio: AudioLike, sr: int = 16000) -> List[np.ndarray]:
+    """AUDIO dict (B,C,N) or array -> list of mono 16 kHz float32 waves."""
+    if isinstance(audio, dict):
+        wf = np.asarray(audio["waveform"])
+        if wf.ndim == 2:
+            wf = wf[None]
+        return [comfy_audio_to_mono_16k(
+            {"waveform": wf[i:i + 1], "sample_rate": audio["sample_rate"]}, sr)
+            for i in range(wf.shape[0])]
+    arr = np.asarray(audio, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[None]
+    return [arr[i] for i in range(arr.shape[0])]
+
+
+# ===========================================================================
+# Regular tier
+# ===========================================================================
+
+def load_float_models(model: str = "models/float/FLOAT.safetensors",
+                      target_device: str = "tpu",
+                      advanced_float_options: Optional[dict] = None,
+                      cfg: Optional[FloatConfig] = None) -> FloatPipe:
+    """LoadFloatModelsOpt: unified checkpoint -> FLOAT_PIPE.
+
+    (reference: nodes.py:23-143; auto-download is handled by
+    io.download.ensure_model_part_exists when the file is missing and the
+    environment has network access.)
+    """
+    import os
+    cfg = (cfg or FloatConfig()).validate()
+    cfg = apply_adv_options(cfg, advanced_float_options)
+    if os.path.exists(model):
+        params = ckpt.load_unified_checkpoint(model)
+        pipe = FloatPipeline(params, cfg)
+        return FloatPipe(pipe, cfg, weights="real")
+    from ..io.download import ensure_model_file
+    fetched = ensure_model_file(model)
+    if fetched:
+        params = ckpt.load_unified_checkpoint(model)
+        pipe = FloatPipeline(params, cfg)
+        return FloatPipe(pipe, cfg, weights="real")
+    logger.warning("checkpoint %s not found and not downloadable; "
+                   "building synthetic-weight pipeline", model)
+    from ..runtime.pipeline import build_synthetic_pipeline
+    return FloatPipe(build_synthetic_pipeline(cfg), cfg, weights="synthetic")
+
+
+def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
+                  float_pipe: FloatPipe,
+                  a_cfg_scale: float = 2.0, e_cfg_scale: float = 1.0,
+                  fps: float = 25.0, emotion: str = "none",
+                  face_align: bool = False, seed: int = 15,
+                  ) -> Tuple[np.ndarray, AudioLike, float]:
+    """FloatProcessOpt: full pipeline with image/audio batch broadcasting.
+
+    (reference: nodes.py:146-222 — pairs up to max(B_img, B_aud) items with
+    last-element repeat, per-item seed+i, concatenates all frames.)
+    """
+    pipe = float_pipe.pipeline
+    cfg = float_pipe.cfg.replace(fps=fps)
+    img = np.asarray(ref_image)
+    if img.ndim == 3:
+        img = img[None]
+    waves = _audio_to_waves(ref_audio, cfg.sampling_rate)
+    n = max(img.shape[0], len(waves))
+
+    all_frames = []
+    for i in range(n):
+        im = img[min(i, img.shape[0] - 1)]
+        wave = waves[min(i, len(waves) - 1)]
+        model_in, _bbox = comfy_image_to_model_input(
+            im, cfg.input_size, cfg.rgba_conversion, cfg.bkg_color_hex,
+            face_align=face_align, face_margin=cfg.face_margin)
+        wave_n = normalize_waveform(wave)[None]
+        frames = pipe.generate(jnp.asarray(model_in), jnp.asarray(wave_n),
+                               emotion=emotion, seed=seed + i,
+                               a_cfg_scale=a_cfg_scale, e_cfg_scale=e_cfg_scale)
+        all_frames.append(np.asarray(frames))
+    return np.concatenate(all_frames, axis=0), ref_audio, fps
+
+
+# ===========================================================================
+# Advanced tier
+# ===========================================================================
+
+def float_image_face_align(image: np.ndarray, input_size: int = 512,
+                           face_margin: float = 1.6, face_index: int = 1,
+                           rgba_conversion: str = "blend_with_color",
+                           bkg_color_hex: str = "#000000",
+                           detector=None) -> Tuple[np.ndarray, List[BBox]]:
+    """FloatImageFaceAlign: batch face-align -> (cropped IMAGE, BBOX list)
+    (reference: nodes_adv.py:38-127)."""
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img[None]
+    crops, bboxes = [], []
+    for i in range(img.shape[0]):
+        u8 = image_to_uint8(img[i], rgba_conversion, bkg_color_hex)
+        crop, bbox = face_align_crop(u8, input_size, margin=face_margin,
+                                     index=face_index, detector=detector)
+        crops.append(crop.astype(np.float32) / 255.0)
+        bboxes.append(bbox)
+    return np.stack(crops), bboxes
+
+
+def float_advanced_parameters(r_cfg_scale: float = 1.0,
+                              attention_window: int = 2,
+                              audio_dropout_prob: float = 0.1,
+                              ref_dropout_prob: float = 0.1,
+                              emotion_dropout_prob: float = 0.1,
+                              ode_atol: float = 1e-5, ode_rtol: float = 1e-5,
+                              nfe: int = 10,
+                              torchdiffeq_ode_method: str = "euler",
+                              face_margin: float = 1.6,
+                              rgba_conversion: str = "blend_with_color",
+                              bkg_color_hex: str = "#000000") -> dict:
+    """FloatAdvancedParameters -> ADV_FLOAT_DICT
+    (reference: nodes_adv.py:130-235)."""
+    return dict(r_cfg_scale=r_cfg_scale, attention_window=attention_window,
+                audio_dropout_prob=audio_dropout_prob,
+                ref_dropout_prob=ref_dropout_prob,
+                emotion_dropout_prob=emotion_dropout_prob,
+                ode_atol=ode_atol, ode_rtol=ode_rtol, nfe=nfe,
+                torchdiffeq_ode_method=torchdiffeq_ode_method,
+                face_margin=face_margin, rgba_conversion=rgba_conversion,
+                bkg_color_hex=bkg_color_hex)
+
+
+def float_encode_image_to_latents(float_pipe: FloatPipe, image: np.ndarray,
+                                  ) -> Tuple[AppearancePipe, jnp.ndarray]:
+    """FloatEncodeImageToLatents: IMAGE (B,S,S,3) [0,1] -> appearance pipe +
+    r_s_lambda (reference: nodes_adv.py:238-327)."""
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img[None]
+    cfg = float_pipe.cfg
+    if img.shape[1] != cfg.input_size or img.shape[2] != cfg.input_size:
+        raise ValueError(f"expected {cfg.input_size}² input, got {img.shape}")
+    x = jnp.asarray(np.transpose(img, (0, 3, 1, 2)) * 2.0 - 1.0,
+                    dtype=jnp.float32)
+    s_r, lam, feats, _r_s = float_pipe.pipeline.encode_image(x)
+    return AppearancePipe(h_source=s_r, feats=list(feats)), lam
+
+
+def float_get_identity_reference(float_pipe: FloatPipe,
+                                 r_s_lambda: jnp.ndarray) -> jnp.ndarray:
+    """FloatGetIdentityReference: r_s_lambda (B,20) -> r_s (B,512)
+    (reference: nodes_adv.py:330-378)."""
+    return _direction_fn(
+        float_pipe.pipeline.params["synthesis"]["direction"], r_s_lambda)
+
+
+def float_encode_audio_to_wa(float_pipe: FloatPipe, ref_audio: AudioLike,
+                             fps: float = 25.0,
+                             ) -> Tuple[jnp.ndarray, int, np.ndarray]:
+    """FloatEncodeAudioToLatentWA: AUDIO -> (wa (B,T,512), audio_num_frames,
+    processed_audio_features (B,N)) (reference: nodes_adv.py:381-472)."""
+    cfg = float_pipe.cfg.replace(fps=fps)
+    waves = _audio_to_waves(ref_audio, cfg.sampling_rate)
+    batch = extract_features(waves)
+    t_frames = audio_num_frames(batch.shape[1], cfg)
+    wa = float_pipe.pipeline.encode_audio(jnp.asarray(batch), t_frames)
+    return wa, t_frames, batch
+
+
+def float_encode_emotion_to_we(float_pipe: FloatPipe,
+                               processed_audio: Optional[np.ndarray] = None,
+                               emotion: str = "none") -> jnp.ndarray:
+    """FloatEncodeEmotionToLatentWE -> we (B,1,7)
+    (reference: nodes_adv.py:475-541)."""
+    if emotion and emotion.lower() in EMOTION_LABELS:
+        return one_hot_emotion(emotion, float_pipe.cfg.dim_e)
+    if processed_audio is None:
+        raise ValueError("emotion='none' requires processed audio")
+    return float_pipe.pipeline.predict_emotion(
+        jnp.asarray(processed_audio))[:, None, :]
+
+
+def float_sample_motion_sequence(float_pipe: FloatPipe, r_s, wa, we,
+                                 audio_num_frames: Optional[int] = None,
+                                 a_cfg_scale: float = 2.0,
+                                 e_cfg_scale: float = 1.0,
+                                 seed: int = 62064758300528,
+                                 fix_noise_seed: Optional[bool] = None,
+                                 ) -> jnp.ndarray:
+    """FloatSampleMotionSequenceRD -> r_d (B,T,512)
+    (reference: nodes_adv.py:697-820; r_cfg/ODE params come from the pipe's
+    options, set via advanced_float_options)."""
+    cfg = float_pipe.cfg
+    if audio_num_frames is not None and audio_num_frames != wa.shape[1]:
+        wa = wa[:, :audio_num_frames]
+    use_seed = seed if (fix_noise_seed if fix_noise_seed is not None
+                        else cfg.fix_noise_seed) else None
+    return float_pipe.pipeline.sample(
+        r_s, wa, we, seed=use_seed, a_cfg_scale=a_cfg_scale,
+        e_cfg_scale=e_cfg_scale, r_cfg_scale=cfg.r_cfg_scale,
+        nfe=cfg.nfe, ode_method=cfg.ode_method)
+
+
+def float_decode_latents_to_images(float_pipe: FloatPipe,
+                                   appearance_pipe: AppearancePipe,
+                                   r_d: jnp.ndarray, fps: float = 25.0,
+                                   ) -> Tuple[np.ndarray, float]:
+    """FloatDecodeLatentsToImages -> (IMAGE (B*T,H,W,C), fps)
+    (reference: nodes_adv.py:823-930 — per-batch-item streamed decode)."""
+    cfg = float_pipe.cfg
+    b = appearance_pipe.h_source.shape[0]
+    outs = []
+    for i in range(b):
+        feats_i = [f[i:i + 1] for f in appearance_pipe.feats]
+        frames = decode_latents(
+            float_pipe.pipeline.params["synthesis"],
+            appearance_pipe.h_source[i:i + 1], feats_i, r_d[i],
+            size=cfg.input_size, decode_batch=cfg.decode_batch,
+            compute_dtype=jnp.dtype(cfg.compute_dtype))
+        outs.append(np.asarray(frames))
+    return np.concatenate(outs, axis=0), fps
+
+
+# ===========================================================================
+# Very Advanced tier — loaders
+# ===========================================================================
+
+def load_wav2vec_model(model_dir: str) -> Wav2VecPipe:
+    """LoadWav2VecModel: HF dir -> WAV2VEC_PIPE
+    (reference: nodes_vadv_loader.py:60-156)."""
+    params, cfg, _ = load_wav2vec2_dir(model_dir)
+    return Wav2VecPipe(params=params, config=cfg)
+
+
+def load_audio_projection(path: str) -> AudioProjectionLayer:
+    """LoadAudioProjectionLayer: projection.safetensors -> layer; dims
+    inferred from '0.weight' (reference: nodes_vadv_loader.py:159-257)."""
+    flat = ckpt.load_safetensors(path)
+    arch = ckpt.infer_projection_arch(flat)
+    return AudioProjectionLayer(params=ckpt.flat_to_pytree(flat),
+                                input_dim=arch["input_dim"],
+                                output_dim=arch["output_dim"])
+
+
+def load_emotion_model(model_dir: str) -> EmotionModelPipe:
+    """LoadEmotionRecognitionModel: HF SER dir -> EMOTION_MODEL_PIPE
+    (reference: nodes_vadv_loader.py:260-338)."""
+    params, cfg, id2label = load_wav2vec2_dir(model_dir)
+    return EmotionModelPipe(params=params, config=cfg, id2label=id2label)
+
+
+def load_float_encoder(path: str) -> EncoderModel:
+    """LoadFloatEncoderModel: encoder.safetensors -> model; arch inferred
+    from weights (reference: nodes_vadv_loader.py:341-473)."""
+    flat = ckpt.load_safetensors(path)
+    arch = ckpt.infer_encoder_arch(flat)
+    return EncoderModel(params=ckpt.flat_to_pytree(flat),
+                        input_size=arch["input_size"], dim=arch["dim"],
+                        dim_motion=arch["dim_motion"])
+
+
+def load_float_synthesis(path: str, channel_multiplier: int = 1,
+                         blur_kernel=(1, 3, 3, 1)) -> SynthesisModel:
+    """LoadFloatSynthesisModel (reference: nodes_vadv_loader.py:476-652)."""
+    flat = ckpt.load_safetensors(path)
+    arch = ckpt.infer_synthesis_arch(flat)
+    return SynthesisModel(params=ckpt.flat_to_pytree(flat),
+                          size=arch["size"], style_dim=arch["style_dim"],
+                          motion_dim=arch["motion_dim"])
+
+
+def load_fmt_model(path: str, dim_e: int = 7, num_heads: int = 8,
+                   attention_window: int = 2, num_prev_frames: int = 10,
+                   fps: float = 25.0, wav2vec_sec: float = 2.0) -> FMTModel:
+    """LoadFMTModel: fmt.safetensors -> model; dims inferred from weights,
+    pos_embed/alignment_mask NEVER loaded
+    (reference: nodes_vadv_loader.py:655-866)."""
+    flat = ckpt.load_safetensors(path)
+    arch = ckpt.infer_fmt_arch(flat)
+    dim_a = arch["c_embedder_in"] - arch["dim_w"] - dim_e
+    cfg = FloatConfig(
+        dim_w=arch["dim_w"], dim_h=arch["dim_h"], dim_a=dim_a, dim_e=dim_e,
+        fmt_depth=arch["fmt_depth"], mlp_ratio=arch["mlp_ratio"],
+        num_heads=num_heads, attention_window=attention_window,
+        num_prev_frames=num_prev_frames, fps=fps, wav2vec_sec=wav2vec_sec)
+    opts = dict(arch, dim_a=dim_a, dim_e=dim_e, num_heads=num_heads,
+                attention_window=attention_window,
+                num_prev_frames=num_prev_frames, fps=fps,
+                wav2vec_sec=wav2vec_sec)
+    return FMTModel(params=ckpt.flat_to_pytree(flat), cfg=cfg,
+                    construction_options=opts)
+
+
+# ===========================================================================
+# Very Advanced tier — apply
+# ===========================================================================
+
+def audio_preprocess_and_feature_extract(
+        wav2vec_pipe: Wav2VecPipe, ref_audio: AudioLike, fps: float = 25.0,
+        only_last_features: bool = False,
+        ) -> Tuple[jnp.ndarray, np.ndarray, int]:
+    """FloatAudioPreprocessAndFeatureExtract -> (features (B,T,9216|768),
+    processed_audio (B,N), audio_num_frames)
+    (reference: nodes_vadv.py:28-144)."""
+    waves = _audio_to_waves(ref_audio)
+    batch = extract_features(waves)
+    cfg = FloatConfig(fps=fps)
+    t_frames = audio_num_frames(batch.shape[1], cfg)
+    wave = pad_wave_to_frames(jnp.asarray(batch), t_frames, cfg)
+    feats = stacked_features(wav2vec_pipe.params, wave, t_frames,
+                             wav2vec_pipe.config, only_last_features)
+    return feats, batch, t_frames
+
+
+def apply_audio_projection(projection: AudioProjectionLayer,
+                           features: jnp.ndarray) -> jnp.ndarray:
+    """FloatApplyAudioProjection -> wa (B,T,512); validates feature dim
+    (reference: nodes_vadv.py:147-198)."""
+    if features.shape[-1] != projection.input_dim:
+        raise ValueError(f"feature dim {features.shape[-1]} != projection "
+                         f"input dim {projection.input_dim}")
+    return _audio_projection_fn(projection.params, features)
+
+
+def extract_emotion(emotion_pipe: EmotionModelPipe,
+                    ref_audio: Optional[AudioLike] = None,
+                    emotion: str = "none") -> jnp.ndarray:
+    """FloatExtractEmotionWithCustomModel -> we (B,1,E): predicted scores
+    or one-hot by label (reference: nodes_vadv.py:201-295)."""
+    dim_e = emotion_pipe.dim_e
+    label2id = emotion_pipe.label2id or {
+        lbl: i for i, lbl in enumerate(EMOTION_LABELS)}
+    if emotion and emotion.lower() in label2id:
+        idx = label2id[emotion.lower()]
+        return jax.nn.one_hot(jnp.asarray([[idx]]), dim_e)
+    if ref_audio is None:
+        raise ValueError("emotion='none' requires audio")
+    waves = _audio_to_waves(ref_audio)
+    batch = extract_features(waves)
+    return _predict_emotion(emotion_pipe.params, jnp.asarray(batch),
+                            emotion_pipe.config)[:, None, :]
+
+
+def extract_emotion_dynamic(emotion_pipe: EmotionModelPipe,
+                            ref_audio: AudioLike,
+                            total_video_frames: int,
+                            chunk_duration_sec: float = 2.0,
+                            sample_rate: int = 16000,
+                            ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """FloatExtractEmotionWithCustomModelDyn -> (we (B,T,E),
+    emotion_sequence (B,num_chunks,E)): per-window SER + nearest-neighbor
+    upsampling to the frame grid (reference: nodes_vadv.py:738-844)."""
+    waves = _audio_to_waves(ref_audio, sample_rate)
+    chunk_len = int(chunk_duration_sec * sample_rate)
+    scores_per_item = []
+    for wave in waves:
+        n_chunks = max(1, math.ceil(len(wave) / chunk_len))
+        chunk_scores = []
+        for ci in range(n_chunks):
+            chunk = wave[ci * chunk_len:(ci + 1) * chunk_len]
+            if len(chunk) == 0:
+                break
+            feats = extract_features([chunk])
+            s = _predict_emotion(emotion_pipe.params, jnp.asarray(feats),
+                                 emotion_pipe.config)
+            chunk_scores.append(np.asarray(s)[0])
+        scores_per_item.append(np.stack(chunk_scores))
+    seq = np.stack(scores_per_item)                       # (B, n_chunks, E)
+    we = nearest_interpolate_time(jnp.asarray(seq), total_video_frames)
+    return we, seq
+
+
+def apply_float_encoder(encoder_model: EncoderModel, image: np.ndarray,
+                        ) -> Tuple[AppearancePipe, jnp.ndarray]:
+    """ApplyFloatEncoder (reference: nodes_vadv.py:298-367)."""
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img[None]
+    x = jnp.asarray(np.transpose(img, (0, 3, 1, 2)) * 2.0 - 1.0,
+                    dtype=jnp.float32)
+    s_r, lam, feats = _encode_image_fn(encoder_model.params, x,
+                                       encoder_model.input_size,
+                                       encoder_model.dim)
+    return AppearancePipe(h_source=s_r, feats=list(feats)), lam
+
+
+def get_identity_reference_va(synthesis_model: SynthesisModel,
+                              r_s_lambda: jnp.ndarray) -> jnp.ndarray:
+    """FloatGetIdentityReferenceVA (reference: nodes_vadv.py:479-531)."""
+    return _direction_fn(synthesis_model.params["direction"], r_s_lambda)
+
+
+def sample_motion_sequence_va(fmt_model: FMTModel, r_s, wa, we,
+                              audio_num_frames: Optional[int] = None,
+                              a_cfg_scale: float = 2.0,
+                              r_cfg_scale: float = 1.0,
+                              e_cfg_scale: float = 1.0,
+                              include_r_cfg: bool = False,
+                              nfe: int = 10, ode_method: str = "euler",
+                              ode_atol: float = 1e-5, ode_rtol: float = 1e-5,
+                              audio_dropout_prob: float = 0.0,
+                              ref_dropout_prob: float = 0.0,
+                              emotion_dropout_prob: float = 0.0,
+                              seed: int = 62064758300528,
+                              fix_noise_seed: bool = True) -> jnp.ndarray:
+    """FloatSampleMotionSequenceRD_VA: full-control sampler
+    (reference: nodes_vadv.py:534-735).
+
+    Note: the dropout probabilities are accepted for surface parity but
+    have no effect at inference — the reference patches them onto fmt.opt
+    yet runs with train=False, where sequence dropout is skipped
+    (FMT.py:271-275).
+    """
+    cfg = fmt_model.cfg.replace(nfe=nfe, ode_method=ode_method,
+                                ode_atol=ode_atol, ode_rtol=ode_rtol,
+                                include_r_cfg=include_r_cfg)
+    if audio_num_frames is not None and audio_num_frames != wa.shape[1]:
+        wa = wa[:, :audio_num_frames]
+    key = jax.random.key(seed if fix_noise_seed else
+                         np.random.SeedSequence().entropy % (2 ** 63))
+    return sample_motion_latents(fmt_model.params, r_s, wa, we, cfg=cfg,
+                                 key=key, a_cfg_scale=a_cfg_scale,
+                                 e_cfg_scale=e_cfg_scale,
+                                 r_cfg_scale=r_cfg_scale,
+                                 nfe=nfe, ode_method=ode_method)
+
+
+def apply_float_synthesis(synthesis_model: SynthesisModel,
+                          appearance_pipe: AppearancePipe,
+                          r_d: jnp.ndarray, fps: float = 25.0,
+                          decode_batch: int = 8,
+                          ) -> Tuple[np.ndarray, float]:
+    """ApplyFloatSynthesis -> (IMAGE (B*T,H,W,C), fps)
+    (reference: nodes_vadv.py:370-475)."""
+    b = appearance_pipe.h_source.shape[0]
+    outs = []
+    for i in range(b):
+        feats_i = [f[i:i + 1] for f in appearance_pipe.feats]
+        frames = decode_latents(
+            synthesis_model.params, appearance_pipe.h_source[i:i + 1],
+            feats_i, r_d[i], size=synthesis_model.size,
+            decode_batch=decode_batch)
+        outs.append(np.asarray(frames))
+    return np.concatenate(outs, axis=0), fps

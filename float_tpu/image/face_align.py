@@ -1,0 +1,97 @@
+"""Face-aligned square cropping (reference: src/nodes/utils/image.py:134-180).
+
+Crop geometry parity:
+- the image is resized so height -> 360 px for detection,
+- detections with score <= 0.95 are dropped; boxes are mapped back to the
+  original resolution; the ``index``-th face is selected (1-based, falls
+  back to the first with a warning),
+- crop side = 2 * max(half_h, half_w) * margin, centered on the bbox
+  center, constant-0 border padding, then resize to ``input_size``,
+- no face -> centered square crop of side 2*min(cx, cy) with a warning.
+
+Returns (crop, bbox=(x, y, w, h)) where bbox locates the crop in the
+original image for later reinsertion (image/composite.py).
+
+The SFD detector itself is pluggable: pass any ``detector(img_rgb_uint8)
+-> [(x1, y1, x2, y2, score), ...]``.  When the optional ``face_alignment``
+package is available it is used by default (matching the reference);
+otherwise detection degrades to the reference's no-face center-crop path.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+logger = logging.getLogger("float_tpu.face_align")
+
+_fa_detector = None
+
+
+def _default_detector(img: np.ndarray):
+    """SFD via the optional face_alignment package (lazy singleton)."""
+    global _fa_detector
+    if _fa_detector is None:
+        try:
+            import face_alignment
+        except ImportError:
+            return None
+        _fa_detector = face_alignment.FaceAlignment(
+            face_alignment.LandmarksType.TWO_D, flip_input=False)
+    return _fa_detector.face_detector.detect_from_image(img)
+
+
+def detect_faces(img: np.ndarray,
+                 detector: Optional[Callable] = None) -> Optional[list]:
+    det = detector or _default_detector
+    try:
+        return det(img)
+    except Exception as exc:          # detector failure -> fallback path
+        logger.warning("face detection failed (%s); using center crop", exc)
+        return None
+
+
+def face_align_crop(
+    img: np.ndarray,                  # (H, W, 3) uint8 RGB
+    input_size: int,
+    margin: float = 1.6,
+    index: int = 1,
+    detector: Optional[Callable] = None,
+) -> Tuple[np.ndarray, Tuple[int, int, int, int]]:
+    """Detect + crop; returns (crop (S, S, 3) uint8, bbox (x, y, w, h))."""
+    mult = 360.0 / img.shape[0]
+    interp = cv2.INTER_AREA if mult < 1.0 else cv2.INTER_CUBIC
+    resized = cv2.resize(img, dsize=(0, 0), fx=mult, fy=mult, interpolation=interp)
+
+    raw = detect_faces(resized, detector)
+    bboxes: Sequence = []
+    if raw:
+        bboxes = [(int(x1 / mult), int(y1 / mult), int(x2 / mult), int(y2 / mult), s)
+                  for (x1, y1, x2, y2, s) in raw if s > 0.95]
+
+    if not bboxes:
+        logger.warning("no face detected; using center square crop")
+        my = img.shape[0] // 2
+        mx = img.shape[1] // 2
+        bs = min(mx, my)
+        bbox_r = (mx - bs, my - bs, 2 * bs, 2 * bs)
+    else:
+        if index > len(bboxes):
+            logger.warning("only %d faces detected, using the first", len(bboxes))
+            index = 1
+        x1, y1, x2, y2, _score = bboxes[index - 1]
+        bsy = (y2 - y1) // 2
+        bsx = (x2 - x1) // 2
+        my = (y1 + y2) // 2
+        mx = (x1 + x2) // 2
+        bs = int(max(bsy, bsx) * margin)
+        img = cv2.copyMakeBorder(img, bs, bs, bs, bs, cv2.BORDER_CONSTANT, value=0)
+        bbox_r = (mx - bs, my - bs, 2 * bs, 2 * bs)
+        my, mx = my + bs, mx + bs
+
+    crop = img[my - bs:my + bs, mx - bs:mx + bs]
+    crop = cv2.resize(crop, dsize=(input_size, input_size),
+                      interpolation=cv2.INTER_AREA if mult < 1.0 else cv2.INTER_CUBIC)
+    return crop, bbox_r

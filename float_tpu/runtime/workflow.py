@@ -1,0 +1,122 @@
+"""JSON workflow runner — executes node-graph topologies from a config.
+
+Covers the reference's example_workflows (SURVEY §3.3/§3.5) and the 5
+BASELINE benchmark configs:
+
+1. default:       one-shot pipeline (FloatProcess equivalent)
+2. emotion:       default + emotion label / cfg scales
+3. long-audio:    same path (chunked sampling streams any length)
+4. dynamic:       per-frame emotion via windowed SER + nearest upsampling
+5. very_advanced: split-stage pipeline with face-align + reinsert
+                  compositing, multiple faces
+
+Config keys: image, audio (file paths or arrays), checkpoint, mode
+("default" | "dynamic_emotion" | "insert"), emotion, a_cfg_scale,
+e_cfg_scale, fps, seed, face_align, faces (list of 1-based indices),
+chunk_duration_sec.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+logger = logging.getLogger("float_tpu.workflow")
+
+
+def _load_image(spec) -> np.ndarray:
+    if isinstance(spec, np.ndarray):
+        return spec
+    import cv2
+    img = cv2.imread(spec, cv2.IMREAD_UNCHANGED)
+    code = cv2.COLOR_BGRA2RGBA if img.shape[-1] == 4 else cv2.COLOR_BGR2RGB
+    return cv2.cvtColor(img, code).astype(np.float32) / 255.0
+
+
+def _load_audio(spec) -> np.ndarray:
+    from ..audio.resample import resample, to_mono
+    if isinstance(spec, np.ndarray):
+        return spec
+    if spec.endswith(".npy"):
+        return np.load(spec).astype(np.float32)
+    import wave as wavmod
+    with wavmod.open(spec, "rb") as w:
+        sr = w.getframerate()
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+        ch = w.getnchannels()
+        arr = raw.reshape(-1, ch).T.astype(np.float32) / 32768.0
+    return resample(to_mono(arr), sr, 16000)
+
+
+def run_workflow(wf: Dict[str, Any], output: str = "out") -> np.ndarray:
+    """Execute a workflow config; returns the generated frames and writes
+    ``output``.npy (frames) when requested."""
+    from ..api import nodes as N
+    from ..audio.features import normalize_waveform
+    from ..runtime.pipeline import audio_num_frames
+
+    mode = wf.get("mode", "default")
+    pipe = N.load_float_models(
+        wf.get("checkpoint", "models/float/FLOAT.safetensors"),
+        advanced_float_options=wf.get("advanced_options"))
+    img = _load_image(wf["image"])
+    wave = _load_audio(wf["audio"])
+    fps = wf.get("fps", 25.0)
+    seed = wf.get("seed", 15)
+    a_cfg = wf.get("a_cfg_scale", 2.0)
+    e_cfg = wf.get("e_cfg_scale", 1.0)
+    emotion = wf.get("emotion", "none")
+
+    if mode == "default":
+        frames, _, _ = N.float_process(
+            img[None], wave[None], pipe, a_cfg_scale=a_cfg,
+            e_cfg_scale=e_cfg, fps=fps, emotion=emotion,
+            face_align=wf.get("face_align", False), seed=seed)
+
+    elif mode == "dynamic_emotion":
+        import jax.numpy as jnp
+        cfg = pipe.cfg.replace(fps=fps)
+        aligned, _ = N.float_image_face_align(img[None], cfg.input_size) \
+            if wf.get("face_align") else (img[None], None)
+        app, lam = N.float_encode_image_to_latents(pipe, aligned)
+        r_s = N.float_get_identity_reference(pipe, lam)
+        wa, t_frames, processed = N.float_encode_audio_to_wa(pipe, wave[None], fps)
+        from ..models.wav2vec2 import predict_emotion
+        from ..api.types import EmotionModelPipe
+        emo_pipe = EmotionModelPipe(params=pipe.pipeline.params["emotion"],
+                                    config=pipe.pipeline.ser_cfg)
+        we, _seq = N.extract_emotion_dynamic(
+            emo_pipe, wave[None], t_frames,
+            chunk_duration_sec=wf.get("chunk_duration_sec", 2.0))
+        r_d = N.float_sample_motion_sequence(pipe, r_s, wa, we,
+                                             a_cfg_scale=a_cfg,
+                                             e_cfg_scale=e_cfg, seed=seed)
+        frames, _ = N.float_decode_latents_to_images(pipe, app, r_d, fps)
+
+    elif mode == "insert":
+        from ..image.composite import composite_face_frames
+        faces = wf.get("faces", [1])
+        composited = None
+        for face_idx in faces:
+            aligned, bboxes = N.float_image_face_align(
+                img[None], pipe.cfg.input_size,
+                face_margin=pipe.cfg.face_margin, face_index=face_idx)
+            frames_f, _, _ = N.float_process(
+                aligned, wave[None], pipe, a_cfg_scale=a_cfg,
+                e_cfg_scale=e_cfg, fps=fps, emotion=emotion,
+                seed=seed + face_idx - 1)
+            bg = composited if composited is not None else img
+            composited = composite_face_frames(bg, frames_f, bboxes[0],
+                                               feather=wf.get("feather", 0))
+        frames = composited
+
+    else:
+        raise ValueError(f"unknown workflow mode {mode!r}")
+
+    if output:
+        np.save(output + ".npy" if not output.endswith(".npy") else output,
+                frames)
+        logger.info("wrote %s (%s frames)", output, frames.shape[0])
+    return frames
