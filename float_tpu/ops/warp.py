@@ -58,8 +58,34 @@ def _axis_weights(i0, frac, size):
 _PATCH_DNUMS = lax.GatherDimensionNumbers(
     offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1))
 
+# Pallas windowed-warp dispatch (bf16, >=128² same-size warps); the XLA
+# patch-gather below remains the exact oracle path and the fallback.
+# Default OFF: the v1 windowed-matmul kernel measures slower than the XLA
+# patch gather (selection-matrix construction + small-matmul overhead
+# dominate); it is kept as groundwork for the batched-K / radix-select
+# redesign.  Flip with set_pallas_warp(True).
+_USE_PALLAS = False
+
+
+def set_pallas_warp(enabled: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = enabled
+
 
 def grid_sample_bilinear(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Dispatcher: Pallas windowed kernel on TPU-friendly shapes/dtypes,
+    XLA patch-gather otherwise (see grid_sample_bilinear_xla)."""
+    if _USE_PALLAS:
+        try:
+            from .pallas.warp_kernel import supports, warp_bilinear_pallas
+            if supports(feat.shape, grid.shape, feat.dtype):
+                return warp_bilinear_pallas(feat, grid)
+        except ImportError:
+            pass
+    return grid_sample_bilinear_xla(feat, grid)
+
+
+def grid_sample_bilinear_xla(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Sample ``feat`` (B, C, H, W) at ``grid`` (B, Ho, Wo, 2) normalized xy.
 
     Returns (B, C, Ho, Wo).  Out-of-bounds taps contribute zero
