@@ -50,17 +50,18 @@ def _load_audio(spec) -> np.ndarray:
     return resample(to_mono(arr), sr, 16000)
 
 
-def run_workflow(wf: Dict[str, Any], output: str = "out") -> np.ndarray:
+def run_workflow(wf: Dict[str, Any], output: str = "out",
+                 pipe=None) -> np.ndarray:
     """Execute a workflow config; returns the generated frames and writes
-    ``output``.npy (frames) when requested."""
+    ``output``.npy (frames) when requested.  ``pipe`` (a FloatPipe)
+    overrides checkpoint loading (tests / preloaded models)."""
     from ..api import nodes as N
-    from ..audio.features import normalize_waveform
-    from ..runtime.pipeline import audio_num_frames
 
     mode = wf.get("mode", "default")
-    pipe = N.load_float_models(
-        wf.get("checkpoint", "models/float/FLOAT.safetensors"),
-        advanced_float_options=wf.get("advanced_options"))
+    if pipe is None:
+        pipe = N.load_float_models(
+            wf.get("checkpoint", "models/float/FLOAT.safetensors"),
+            advanced_float_options=wf.get("advanced_options"))
     img = _load_image(wf["image"])
     wave = _load_audio(wf["audio"])
     fps = wf.get("fps", 25.0)
