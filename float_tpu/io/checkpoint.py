@@ -45,6 +45,45 @@ def load_safetensors(path: str | os.PathLike) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_torch_pth(path: str | os.PathLike) -> Dict[str, np.ndarray]:
+    """Read a legacy torch .pth/.bin state dict into a flat numpy dict.
+
+    Covers the reference's legacy ``float.pth`` load path
+    (generate.py:139-152) — per-parameter copy semantics; wav2vec2 weights
+    come from HF dirs in that layout (io.hf.load_wav2vec2_dir).
+    """
+    import torch
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def load_legacy_checkpoint(pth_path: str, wav2vec_dir: str, ser_dir: str,
+                           dtype=jnp.float32) -> dict:
+    """Legacy layout: float.pth (motion AE + projection + fmt) + 2 HF dirs.
+
+    Mirrors InferenceAgent's legacy path (reference generate.py:139-152):
+    non-wav2vec weights from the .pth, both towers from HF folders.
+    """
+    from .hf import load_wav2vec2_dir
+    flat = load_torch_pth(pth_path)
+    parts = split_unified(flat)
+    w2v_params, _w2v_cfg, _ = load_wav2vec2_dir(wav2vec_dir)
+    ser_params, _ser_cfg, _ = load_wav2vec2_dir(ser_dir)
+    return {
+        "encoder": flat_to_pytree(parts["encoder"], dtype),
+        "synthesis": flat_to_pytree(parts["synthesis"], dtype),
+        "audio_encoder": {
+            "wav2vec2": w2v_params,
+            "audio_projection": flat_to_pytree(parts["audio_projection"], dtype),
+        },
+        "emotion": ser_params,
+        "fmt": flat_to_pytree(parts["fmt"], dtype),
+    }
+
+
 def _fold_weight_norm(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Fold torch weight_norm pairs into plain weights.
 

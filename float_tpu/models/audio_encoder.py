@@ -57,6 +57,19 @@ def audio_projection(params, feats: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(h)
 
 
+def encode_audio_with_prev(params, wave: jnp.ndarray, prev_wave: jnp.ndarray,
+                           cfg: FloatConfig, w2v_cfg: Wav2Vec2Config) -> jnp.ndarray:
+    """Training-style forward with previous-frame audio concatenated
+    (reference AudioEncoder.forward with prev_a, FLOAT.py:354-368):
+    seq_len = num_prev_frames + num_frames_for_clip over the joined wave."""
+    joined = jnp.concatenate([prev_wave, wave], axis=1)
+    seq_len = cfg.num_prev_frames + cfg.num_frames_for_clip
+    joined = pad_wave_to_frames(joined, seq_len, cfg)
+    feats = stacked_features(params["wav2vec2"], joined, seq_len, w2v_cfg,
+                             cfg.only_last_features)
+    return audio_projection(params["audio_projection"], feats)
+
+
 def encode_audio(params, wave: jnp.ndarray, seq_len: int,
                  cfg: FloatConfig, w2v_cfg: Wav2Vec2Config) -> jnp.ndarray:
     """Full AudioEncoder.inference: wave (B, N) -> wa (B, seq_len, dim_w)
