@@ -198,14 +198,24 @@ def fmt_forward(
     return _decoder_head(params["decoder"], h, c)
 
 
+def infer_cfg_mode(a_cfg_scale, r_cfg_scale, e_cfg_scale,
+                   include_r_cfg: bool) -> str:
+    """Structural CFG mode from *python float* scales: 'skip' when all are
+    exactly 1.0 (reference FMT.py:346), else '3way'/'4way'."""
+    if a_cfg_scale == 1.0 and r_cfg_scale == 1.0 and e_cfg_scale == 1.0:
+        return "skip"
+    return "4way" if include_r_cfg else "3way"
+
+
 def fmt_forward_cfg(
     params,
     t, x, wa, wr, we, prev_x, prev_wa, prev_we,
     *,
-    a_cfg_scale: float = 1.0,
-    r_cfg_scale: float = 1.0,
-    e_cfg_scale: float = 1.0,
+    a_cfg_scale=1.0,
+    r_cfg_scale=1.0,
+    e_cfg_scale=1.0,
     include_r_cfg: bool = False,
+    cfg_mode: str | None = None,
     depth: int,
     num_heads: int,
     attention_window: int,
@@ -216,12 +226,21 @@ def fmt_forward_cfg(
     uncond + a·(audio_only − uncond) + e·(all − audio_only);
     4-way variant prepends truly_uncond with r_cfg.
     Skips CFG entirely when every scale is exactly 1.0.
+
+    ``cfg_mode`` ('skip'|'3way'|'4way') is the *structural* decision and
+    must be static under jit; when None it is inferred from the scales
+    (which then must be python floats).  The scale values themselves may be
+    traced arrays — changing them does NOT recompile.
     """
     kw = dict(depth=depth, num_heads=num_heads, attention_window=attention_window)
-    if a_cfg_scale == 1.0 and r_cfg_scale == 1.0 and e_cfg_scale == 1.0:
+    if cfg_mode is None:
+        cfg_mode = infer_cfg_mode(a_cfg_scale, r_cfg_scale, e_cfg_scale,
+                                  include_r_cfg)
+    if cfg_mode == "skip":
         return fmt_forward(params, t, x, wa, wr, we, prev_x, prev_wa, prev_we, **kw)
 
     zero = jnp.zeros_like
+    include_r_cfg = cfg_mode == "4way"
     n_way = 4 if include_r_cfg else 3
 
     if include_r_cfg:

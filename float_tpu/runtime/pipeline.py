@@ -85,12 +85,15 @@ class FloatPipeline:
 
         self._emotion = _emotion
 
-        @partial(jax.jit, static_argnames=("a_s", "e_s", "r_s_scale", "nfe", "method"))
-        def _sample(fmt_params, r_s, wa, we, key, a_s, e_s, r_s_scale, nfe, method):
+        # CFG scales are traced (changing them does NOT recompile); only the
+        # structural cfg_mode / nfe / solver are static.
+        @partial(jax.jit, static_argnames=("nfe", "method", "cfg_mode"))
+        def _sample(fmt_params, r_s, wa, we, key, a_s, e_s, r_s_scale,
+                    nfe, method, cfg_mode):
             return sample_motion_latents(
                 fmt_params, r_s, wa, we, cfg=cfg, key=key,
                 a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_s_scale,
-                nfe=nfe, ode_method=method)
+                nfe=nfe, ode_method=method, cfg_mode=cfg_mode)
 
         self._sample = _sample
 
@@ -133,15 +136,19 @@ class FloatPipeline:
                a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
                nfe=None, ode_method=None) -> jnp.ndarray:
         """r_d (B, T, dim_w) via chunked CFG-ODE sampling."""
+        from ..models.fmt import infer_cfg_mode
         cfg = self.cfg
         key = jax.random.key(cfg.seed if seed is None else seed)
+        a_s = cfg.a_cfg_scale if a_cfg_scale is None else a_cfg_scale
+        e_s = cfg.e_cfg_scale if e_cfg_scale is None else e_cfg_scale
+        r_sc = cfg.r_cfg_scale if r_cfg_scale is None else r_cfg_scale
+        mode = infer_cfg_mode(a_s, r_sc, e_s, cfg.include_r_cfg)
         return self._sample(
             self.params["fmt"], r_s, wa, we, key,
-            cfg.a_cfg_scale if a_cfg_scale is None else a_cfg_scale,
-            cfg.e_cfg_scale if e_cfg_scale is None else e_cfg_scale,
-            cfg.r_cfg_scale if r_cfg_scale is None else r_cfg_scale,
+            jnp.float32(a_s), jnp.float32(e_s), jnp.float32(r_sc),
             cfg.nfe if nfe is None else nfe,
-            cfg.ode_method if ode_method is None else ode_method)
+            cfg.ode_method if ode_method is None else ode_method,
+            mode)
 
     def decode(self, s_r, feats, r_d) -> jnp.ndarray:
         """(1, dim_w) + feats + (1|T, T, dim_w) -> (T, S, S, 3) in [0, 1]."""

@@ -50,6 +50,7 @@ def sample_motion_latents(
     r_cfg_scale: Optional[float] = None,
     nfe: Optional[int] = None,
     ode_method: Optional[str] = None,
+    cfg_mode: Optional[str] = None,        # 'skip'|'3way'|'4way'; static
     key: Optional[jax.Array] = None,
     noise: Optional[jnp.ndarray] = None,   # (n_chunks, B, clip, dim_w) override
 ) -> jnp.ndarray:
@@ -58,6 +59,9 @@ def sample_motion_latents(
     Either ``key`` (JAX PRNG; per-chunk noise via fold_in) or explicit
     ``noise`` must be given — the latter enables bit-level parity harnesses
     against recorded torch noise.
+
+    CFG scales may be traced arrays when ``cfg_mode`` is given explicitly
+    (so scale changes don't trigger recompilation).
     """
     a_s = cfg.a_cfg_scale if a_cfg_scale is None else a_cfg_scale
     e_s = cfg.e_cfg_scale if e_cfg_scale is None else e_cfg_scale
@@ -93,7 +97,7 @@ def sample_motion_latents(
     fmt_kw = dict(depth=cfg.fmt_depth, num_heads=cfg.num_heads,
                   attention_window=cfg.attention_window)
     cfg_kw = dict(a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_s_scale,
-                  include_r_cfg=cfg.include_r_cfg)
+                  include_r_cfg=cfg.include_r_cfg, cfg_mode=cfg_mode)
 
     def chunk_step(carry, inputs):
         prev_x, prev_wa, prev_we = carry
