@@ -40,7 +40,7 @@ from ..models.audio_encoder import (audio_projection as _audio_projection_fn,
 from ..models.encoder import encode_image as _encode_image_fn
 from ..models.synthesis import direction as _direction_fn
 from ..models.wav2vec2 import predict_emotion as _predict_emotion, ser_logits
-from ..runtime.decode import decode_latents
+from ..runtime.decode import decode_latents, decode_latents_to_host
 from ..runtime.pipeline import FloatPipeline, audio_num_frames, one_hot_emotion
 from ..runtime.sampling import sample_motion_latents
 from ..ops import nearest_interpolate_time
@@ -126,11 +126,17 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
         model_in, _bbox = comfy_image_to_model_input(
             im, cfg.input_size, cfg.rgba_conversion, cfg.bkg_color_hex,
             face_align=face_align, face_margin=cfg.face_margin)
-        wave_n = normalize_waveform(wave)[None]
-        frames = pipe.generate(jnp.asarray(model_in), jnp.asarray(wave_n),
-                               emotion=emotion, seed=seed + i,
-                               a_cfg_scale=a_cfg_scale, e_cfg_scale=e_cfg_scale)
-        all_frames.append(np.asarray(frames))
+        wave_n = jnp.asarray(normalize_waveform(wave)[None])
+        img_dev = jnp.asarray(model_in)
+        t_frames = audio_num_frames(wave_n.shape[-1], cfg)
+        s_r, _lam, feats, r_s = pipe.encode_image(img_dev)
+        wa = pipe.encode_audio(wave_n, t_frames)
+        we = pipe.emotion_latent(wave_n, emotion)
+        r_d = pipe.sample(r_s, wa, we, seed=seed + i,
+                          a_cfg_scale=a_cfg_scale, e_cfg_scale=e_cfg_scale)
+        # streamed host transfer: uint8 on the wire, chunk transfers
+        # overlap decode compute (long-clip friendly)
+        all_frames.append(pipe.decode_to_host(s_r, feats, r_d))
     return np.concatenate(all_frames, axis=0), ref_audio, fps
 
 
@@ -263,12 +269,11 @@ def float_decode_latents_to_images(float_pipe: FloatPipe,
     outs = []
     for i in range(b):
         feats_i = [f[i:i + 1] for f in appearance_pipe.feats]
-        frames = decode_latents(
+        outs.append(decode_latents_to_host(
             float_pipe.pipeline.params["synthesis"],
             appearance_pipe.h_source[i:i + 1], feats_i, r_d[i],
             size=cfg.input_size, decode_batch=cfg.decode_batch,
-            compute_dtype=jnp.dtype(cfg.compute_dtype))
-        outs.append(np.asarray(frames))
+            compute_dtype=jnp.dtype(cfg.compute_dtype)))
     return np.concatenate(outs, axis=0), fps
 
 
@@ -487,9 +492,8 @@ def apply_float_synthesis(synthesis_model: SynthesisModel,
     outs = []
     for i in range(b):
         feats_i = [f[i:i + 1] for f in appearance_pipe.feats]
-        frames = decode_latents(
+        outs.append(decode_latents_to_host(
             synthesis_model.params, appearance_pipe.h_source[i:i + 1],
             feats_i, r_d[i], size=synthesis_model.size,
-            decode_batch=decode_batch)
-        outs.append(np.asarray(frames))
+            decode_batch=decode_batch))
     return np.concatenate(outs, axis=0), fps

@@ -27,13 +27,16 @@ import jax.numpy as jnp
 from ..models.synthesis import synthesis
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _decode_chunk(params, wa_chunk, feats, size):
-    """(fb, dim_w) latents -> (fb, S, S, 3) float32 frames in [0, 1]."""
+@partial(jax.jit, static_argnames=("size", "out_u8"))
+def _decode_chunk(params, wa_chunk, feats, size, out_u8=False):
+    """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8."""
     img, _ = synthesis(params, wa_chunk, feats, size)
     img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
     img = (img + 1.0) * 0.5
-    return jnp.transpose(img, (0, 2, 3, 1))
+    img = jnp.transpose(img, (0, 2, 3, 1))
+    if out_u8:
+        img = jnp.round(img * 255.0).astype(jnp.uint8)
+    return img
 
 
 def decode_latents(
@@ -73,3 +76,57 @@ def decode_latents(
             frame_callback(ci, n_chunks)
     frames = jnp.concatenate(chunks, axis=0)
     return frames[:t_frames]
+
+
+def decode_latents_to_host(
+    synthesis_params, s_r, feats, r_d, *,
+    size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
+    uint8_transfer: bool = True, frame_callback=None,
+):
+    """Decode + stream frames to HOST memory chunk by chunk.
+
+    Long clips must not round-trip as one giant float32 device array
+    (a 60 s clip is 4.7 GB; the reference hit the same wall and streams
+    per frame, FLOAT.py:113-169).  Frames are converted to uint8 ON DEVICE
+    (4x less transfer; videos are 8-bit anyway) and each chunk's transfer
+    overlaps the next chunk's compute.  Returns (T, S, S, 3) float32 [0,1].
+    """
+    import numpy as np
+    t_frames = r_d.shape[0]
+    fb = decode_batch
+    n_chunks = math.ceil(t_frames / fb)
+    t_pad = n_chunks * fb
+
+    dtype = jnp.dtype(compute_dtype)
+    wa = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dtype)
+    if t_pad != t_frames:
+        wa = jnp.pad(wa, ((0, t_pad - t_frames), (0, 0)), mode="edge")
+    feats_c = [f.astype(dtype) for f in feats]
+    params_c = jax.tree.map(lambda a: a.astype(dtype), synthesis_params)
+
+    out = np.empty((t_frames, size, size, 3), np.float32)
+    pending = []
+    for ci in range(n_chunks):
+        dev = _decode_chunk(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
+                            size, out_u8=uint8_transfer)
+        pending.append((ci, dev))
+        # keep one chunk in flight: materialize the previous one while the
+        # current computes
+        if len(pending) > 1:
+            _drain(pending.pop(0), out, fb, t_frames, uint8_transfer)
+        if frame_callback is not None:
+            frame_callback(ci, n_chunks)
+    for item in pending:
+        _drain(item, out, fb, t_frames, uint8_transfer)
+    return out
+
+
+def _drain(item, out, fb, t_frames, uint8_transfer):
+    import numpy as np
+    ci, dev = item
+    host = np.asarray(dev)
+    if uint8_transfer:
+        host = host.astype(np.float32) / 255.0
+    lo = ci * fb
+    hi = min(lo + fb, t_frames)
+    out[lo:hi] = host[: hi - lo]

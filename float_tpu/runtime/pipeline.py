@@ -156,6 +156,18 @@ class FloatPipeline:
             r_d = r_d[0]
         return self._decode(self.params["synthesis"], s_r, feats, r_d)
 
+    def decode_to_host(self, s_r, feats, r_d, uint8_transfer: bool = True):
+        """Decode + stream frames to host as float32 numpy (uint8 on the
+        wire; chunk transfers overlap compute — use for long clips)."""
+        from .decode import decode_latents_to_host
+        if r_d.ndim == 3:
+            r_d = r_d[0]
+        return decode_latents_to_host(
+            self.params["synthesis"], s_r, feats, r_d,
+            size=self.cfg.input_size, decode_batch=self.cfg.decode_batch,
+            compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            uint8_transfer=uint8_transfer)
+
     # ------------------------------------------------------------------
     # one-shot generation (the FloatProcess node equivalent)
     # ------------------------------------------------------------------

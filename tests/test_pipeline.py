@@ -118,3 +118,22 @@ def test_dynamic_emotion_sampling(pipe, rng):
     assert r_d.shape == (1, t, 64)
     frames = pipe.decode(s_r, feats, r_d)
     assert frames.shape == (t, 64, 64, 3)
+
+
+def test_streamed_host_decode_matches_device(pipe, rng):
+    """uint8-wire streamed decode == device decode within 8-bit quantization."""
+    img = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32) * 0.1)
+    t = audio_num_frames(8000, TINY)
+    s_r, _, feats, r_s = pipe.encode_image(img)
+    wa = pipe.encode_audio(wave, t)
+    we = pipe.emotion_latent(None, "happy")
+    r_d = pipe.sample(r_s, wa, we, seed=4)
+
+    dev = np.asarray(pipe.decode(s_r, feats, r_d))
+    host = pipe.decode_to_host(s_r, feats, r_d)
+    assert host.shape == dev.shape and host.dtype == np.float32
+    np.testing.assert_allclose(host, dev, atol=1.0 / 255 + 1e-6)
+
+    exact = pipe.decode_to_host(s_r, feats, r_d, uint8_transfer=False)
+    np.testing.assert_allclose(exact, dev, atol=1e-6)
