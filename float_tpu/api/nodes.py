@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 import jax
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import (FloatConfig, EMOTION_LABELS, apply_adv_options)
 from ..audio.resample import comfy_audio_to_mono_16k
 from ..audio.features import extract_features, normalize_waveform
-from ..image.transform import comfy_image_to_model_input, to_model_input
+from ..image.transform import comfy_image_to_model_input
 from ..image.rgba import image_to_uint8
 from ..image.face_align import face_align_crop
 from ..io import checkpoint as ckpt
@@ -39,8 +39,8 @@ from ..models.audio_encoder import (audio_projection as _audio_projection_fn,
                                     pad_wave_to_frames, stacked_features)
 from ..models.encoder import encode_image as _encode_image_fn
 from ..models.synthesis import direction as _direction_fn
-from ..models.wav2vec2 import predict_emotion as _predict_emotion, ser_logits
-from ..runtime.decode import decode_latents, decode_latents_to_host
+from ..models.wav2vec2 import predict_emotion as _predict_emotion
+from ..runtime.decode import decode_latents_to_host
 from ..runtime.pipeline import FloatPipeline, audio_num_frames, one_hot_emotion
 from ..runtime.sampling import sample_motion_latents
 from ..ops import nearest_interpolate_time

@@ -9,7 +9,7 @@ Conventions (ComfyUI parity):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 from ..config import FloatConfig, Wav2Vec2Config
 

@@ -23,7 +23,6 @@ def _setup_logging(verbose: int):
 
 def cmd_generate(args):
     import numpy as np
-    import jax.numpy as jnp
     import cv2
     from .api.nodes import load_float_models, float_process
     from .audio.resample import resample, to_mono

@@ -11,8 +11,6 @@ import json
 import os
 from typing import Tuple
 
-import numpy as np
-
 from ..config import Wav2Vec2Config
 from .checkpoint import flat_to_pytree, load_safetensors, subtree
 

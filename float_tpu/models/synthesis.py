@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import (
     modulated_conv2d, fused_leaky_relu, equal_conv2d, upsample2x,
-    grid_sample_bilinear, identity_grid, equal_linear,
+    grid_sample_bilinear, identity_grid,
 )
 
 

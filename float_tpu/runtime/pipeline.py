@@ -22,7 +22,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import (FloatConfig, Wav2Vec2Config, WAV2VEC2_BASE,
                       WAV2VEC2_LARGE_SER, EMOTION_LABELS)
@@ -56,6 +55,8 @@ class FloatPipeline:
     def __init__(self, params, cfg: FloatConfig = FloatConfig(),
                  w2v_cfg: Wav2Vec2Config = WAV2VEC2_BASE,
                  ser_cfg: Wav2Vec2Config = WAV2VEC2_LARGE_SER):
+        from ..utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.params = params
         self.cfg = cfg.validate()
         self.w2v_cfg = w2v_cfg

@@ -18,7 +18,6 @@ chunk_duration_sec.
 from __future__ import annotations
 
 import logging
-import os
 from typing import Any, Dict
 
 import numpy as np
@@ -77,14 +76,12 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
             face_align=wf.get("face_align", False), seed=seed)
 
     elif mode == "dynamic_emotion":
-        import jax.numpy as jnp
         cfg = pipe.cfg.replace(fps=fps)
         aligned, _ = N.float_image_face_align(img[None], cfg.input_size) \
             if wf.get("face_align") else (img[None], None)
         app, lam = N.float_encode_image_to_latents(pipe, aligned)
         r_s = N.float_get_identity_reference(pipe, lam)
         wa, t_frames, processed = N.float_encode_audio_to_wa(pipe, wave[None], fps)
-        from ..models.wav2vec2 import predict_emotion
         from ..api.types import EmotionModelPipe
         emo_pipe = EmotionModelPipe(params=pipe.pipeline.params["emotion"],
                                     config=pipe.pipeline.ser_cfg)
