@@ -115,7 +115,7 @@ def _to_flow(x, style, feat, p, skip=None):
     return feat_warp, merged, out, flow
 
 
-def synthesis(params, wa, feats, size: int):
+def synthesis(params, wa, feats, size: int, alpha=None):
     """Decode latent(s) into image(s).
 
     wa:    (B, style_dim) combined appearance+motion latent (s_r + r_d_t);
@@ -124,9 +124,25 @@ def synthesis(params, wa, feats, size: int):
            repeat is free, so we just reuse ``wa`` per layer.
     feats: list of 7 encoder skip maps coarse-first, each (Bf, C, H, W)
            where Bf broadcasts against B (frame batching).
+    alpha: optional motion-magnitude conditioning
+           (reference styledecoder.py:497-506):
+           - [alpha_d]: latent = wa + direction(alpha_d)
+           - [target, source, start]: latent = wa + (dir(target) -
+             dir(start)) + dir(source)  (motion transfer / editing path)
+           The inference pipeline always passes None (wa already holds
+           s_r + r_d_t).
 
     Returns (img (B, 3, S, S) in [-1, 1], flow at the 64² level).
     """
+    if alpha is not None:
+        if len(alpha) > 1:
+            d_target = direction(params["direction"], alpha[0])
+            d_source = direction(params["direction"], alpha[1])
+            d_start = direction(params["direction"], alpha[2])
+            wa = wa + (d_target - d_start) + d_source
+        else:
+            wa = wa + direction(params["direction"], alpha[0])
+    wa = wa.astype(feats[0].dtype) if feats else wa
     b = wa.shape[0]
     log_size = int(math.log2(size))
     n_levels = log_size - 2                 # levels 8² .. size²

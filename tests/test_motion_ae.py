@@ -100,3 +100,29 @@ def test_synthesis_frame_batching(ref_encoder, ref_synthesis, rng):
                               [f for f in feats], SIZE)
         np.testing.assert_allclose(np.asarray(batched[t]), np.asarray(single[0]),
                                    rtol=1e-3, atol=1e-3, err_msg=f"frame {t}")
+
+
+def test_synthesis_alpha_paths(ref_encoder, ref_synthesis, rng):
+    """alpha conditioning branches (single + motion-transfer triple)."""
+    x = rng.standard_normal((2, 3, SIZE, SIZE)).astype(np.float32)
+    alphas = [rng.standard_normal((2, DIM_M)).astype(np.float32) * 0.3
+              for _ in range(3)]
+
+    with torch.no_grad():
+        h_ref, _, feats_ref = ref_encoder(torch.as_tensor(x), None)
+        img1_ref, _ = ref_synthesis(h_ref, [torch.as_tensor(alphas[0])], feats_ref)
+        img3_ref, _ = ref_synthesis(
+            h_ref, [torch.as_tensor(a) for a in alphas], feats_ref)
+
+    enc_params = torch_state_to_pytree(ref_encoder.state_dict())
+    dec_params = torch_state_to_pytree(ref_synthesis.state_dict())
+    h, _, feats = encode_image(enc_params, jnp.asarray(x), SIZE, DIM)
+
+    img1, _ = synthesis(dec_params, h, feats, SIZE,
+                        alpha=[jnp.asarray(alphas[0])])
+    np.testing.assert_allclose(np.asarray(img1), img1_ref.numpy(),
+                               rtol=1e-3, atol=5e-3)
+    img3, _ = synthesis(dec_params, h, feats, SIZE,
+                        alpha=[jnp.asarray(a) for a in alphas])
+    np.testing.assert_allclose(np.asarray(img3), img3_ref.numpy(),
+                               rtol=1e-3, atol=5e-3)
