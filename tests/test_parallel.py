@@ -1,0 +1,104 @@
+"""Multi-device sharding correctness on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from float_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from float_tpu.parallel.sharding import (
+    fmt_param_shardings, wav2vec2_param_shardings, replicate_params,
+    shard_pytree,
+)
+from float_tpu.models.fmt import fmt_forward
+from float_tpu.models.init import init_fmt, init_wav2vec2
+from float_tpu.models.wav2vec2 import wav2vec2_standard
+
+from test_pipeline import TINY, TINY_W2V
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(8, data=8)
+    assert mesh2.devices.shape == (8, 1)
+    with pytest.raises(ValueError):
+        make_mesh(8, data=3, model=3)
+
+
+def test_fmt_tp_matches_replicated(rng):
+    """Megatron-sharded FMT forward == replicated forward."""
+    params = init_fmt(TINY, seed=5)
+    mesh = make_mesh(8)
+
+    b, clip, prev = 2, TINY.num_frames_for_clip, TINY.num_prev_frames
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    args = (mk(1), mk(b, clip, TINY.dim_w), mk(b, clip, TINY.dim_a),
+            mk(b, TINY.dim_w), mk(b, 1, TINY.dim_e),
+            mk(b, prev, TINY.dim_w), mk(b, prev, TINY.dim_a))
+
+    kw = dict(depth=TINY.fmt_depth, num_heads=TINY.num_heads,
+              attention_window=TINY.attention_window)
+
+    ref = fmt_forward(params, *args, None, **kw)
+
+    shardings = fmt_param_shardings(params, mesh)
+    params_sh = shard_pytree(params, shardings)
+    data_in = tuple(jax.device_put(a, batch_sharding(mesh, a.ndim))
+                    if a.ndim >= 2 else jax.device_put(a, replicated(mesh))
+                    for a in args)
+
+    fn = jax.jit(lambda p, *a: fmt_forward(p, *a, None, **kw))
+    with mesh:
+        out = fn(params_sh, *data_in)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # qkv weights really are sharded over the model axis
+    qkv = params_sh["blocks"]["0"]["attn"]["qkv"]["weight"]
+    assert qkv.sharding.spec == P("model", None)
+
+
+def test_wav2vec2_tp_matches_replicated(rng):
+    params = init_wav2vec2(TINY_W2V, seed=6)
+    mesh = make_mesh(8)
+    wave = jnp.asarray(rng.standard_normal((2, 3200)).astype(np.float32) * 0.1)
+
+    ref = wav2vec2_standard(params, wave, TINY_W2V)
+
+    params_sh = shard_pytree(params, wav2vec2_param_shardings(params, mesh))
+    wave_sh = jax.device_put(wave, batch_sharding(mesh, 2))
+    fn = jax.jit(lambda p, w: wav2vec2_standard(p, w, TINY_W2V))
+    with mesh:
+        out = fn(params_sh, wave_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_frame_parallel_decode_matches(rng):
+    """Frames sharded over all devices decode identically."""
+    from float_tpu.models.init import init_synthesis, init_encoder
+    from float_tpu.models.encoder import encode_image
+    from float_tpu.models.synthesis import synthesis
+
+    enc = init_encoder(32, 32, 20, seed=7)
+    dec = init_synthesis(32, 32, 20, seed=8)
+    x = jnp.asarray(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+    h, _, feats = encode_image(enc, x, 32, 32)
+    wa = h + jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32) * 0.1)
+
+    ref, _ = synthesis(dec, wa, feats, 32)
+
+    mesh = make_mesh(8)
+    wa_sh = jax.device_put(wa, NamedSharding(mesh, P(("data", "model"), None)))
+    dec_sh = shard_pytree(dec, replicate_params(dec, mesh))
+    feats_sh = [jax.device_put(f, replicated(mesh)) for f in feats]
+    fn = jax.jit(lambda p, w, fe: synthesis(p, w, fe, 32)[0])
+    with mesh:
+        out = fn(dec_sh, wa_sh, feats_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
