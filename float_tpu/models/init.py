@@ -81,7 +81,12 @@ def init_synthesis(size: int = 512, style_dim: int = 512, dim_m: int = 20, seed:
                      "1": {"bias": g.zeros(1, 3, 1, 1)}},
             "bias": g.zeros(1, 3, 1, 1)}
         p["to_flows"][str(lvl)] = {
-            "conv": {"weight": g.t(1, 3, outc, 1, 1, scale=1.0),
+            # small flow-head weights: random-init tanh flows would span the
+            # whole image, which no trained talking-head model does; small
+            # flows make synthetic-weight benchmarks representative of the
+            # real checkpoint's warp behavior (and exercise the fast
+            # bounded-displacement warp path instead of its fallback)
+            "conv": {"weight": g.t(1, 3, outc, 1, 1, scale=0.002),
                      "modulation": {"weight": g.t(outc, style_dim, scale=1.0),
                                     "bias": g.ones(outc)}},
             "bias": g.zeros(1, 3, 1, 1)}

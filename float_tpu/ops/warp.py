@@ -58,28 +58,39 @@ def _axis_weights(i0, frac, size):
 _PATCH_DNUMS = lax.GatherDimensionNumbers(
     offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1))
 
-# Pallas windowed-warp dispatch (bf16, >=128² same-size warps); the XLA
-# patch-gather below remains the exact oracle path and the fallback.
-# Default OFF: the v1 windowed-matmul kernel measures slower than the XLA
-# patch gather (selection-matrix construction + small-matmul overhead
-# dominate); it is kept as groundwork for the batched-K / radix-select
-# redesign.  Flip with set_pallas_warp(True).
+# Warp dispatch.  Two Pallas kernels exist as alternatives to the XLA
+# patch gather:
+#   - pallas/shift_warp_kernel: static-shift form, exact for |Δ| <= D with
+#     a cond-gather fixup.  ISOLATED it beats the gather 6.8x at 128² and
+#     1.7x at 256² (not at 512²: misaligned-sublane slice rotates), but
+#     IN-GRAPH the gather's surrounding transposes fuse away while a
+#     pallas_call is a fusion barrier, erasing the win (measured 208 vs
+#     194 ms per 16-frame chunk).  Net: OFF by default until the
+#     transpose-free NHWC-native synthesis lands (round-2 roadmap).
+#   - pallas/warp_kernel: windowed weighted-selection matmul — kept as
+#     groundwork, selection-construction bound, never dispatched.
 _USE_PALLAS = False
+_SHIFT_MAX_H = 256      # levels above this use the XLA gather
+_SHIFT_MAX_DISP = 3     # displacement bound before the exact fixup runs
 
 
-def set_pallas_warp(enabled: bool) -> None:
-    global _USE_PALLAS
+def set_pallas_warp(enabled: bool, max_h: int = 256, max_disp: int = 3) -> None:
+    global _USE_PALLAS, _SHIFT_MAX_H, _SHIFT_MAX_DISP
     _USE_PALLAS = enabled
+    _SHIFT_MAX_H = max_h
+    _SHIFT_MAX_DISP = max_disp
 
 
 def grid_sample_bilinear(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
-    """Dispatcher: Pallas windowed kernel on TPU-friendly shapes/dtypes,
+    """Dispatcher: Pallas static-shift kernel on TPU-friendly shapes/dtypes,
     XLA patch-gather otherwise (see grid_sample_bilinear_xla)."""
-    if _USE_PALLAS:
+    if _USE_PALLAS and feat.shape[2] <= _SHIFT_MAX_H:
         try:
-            from .pallas.warp_kernel import supports, warp_bilinear_pallas
+            from .pallas.shift_warp_kernel import (
+                supports, warp_bilinear_shift_pallas)
             if supports(feat.shape, grid.shape, feat.dtype):
-                return warp_bilinear_pallas(feat, grid)
+                return warp_bilinear_shift_pallas(feat, grid,
+                                                  max_disp=_SHIFT_MAX_DISP)
         except ImportError:
             pass
     return grid_sample_bilinear_xla(feat, grid)

@@ -256,3 +256,37 @@ def test_ode_trajectory_layout():
     traj = odeint_fixed(f, y0, ts, method="euler", return_trajectory=True)
     assert traj.shape == (5, 3)
     np.testing.assert_allclose(np.asarray(traj[-1]), np.ones(3), rtol=1e-6)
+
+
+@pytest.mark.parametrize("scale,desc", [(0.004, "small flow (within D)"),
+                                        (0.8, "large flow (fallback)")])
+def test_shift_warp_matches_gather(rng, scale, desc):
+    from float_tpu.ops.warp_shifts import grid_sample_bilinear_shifts
+    from float_tpu.ops import identity_grid
+    feat = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    grid = identity_grid(32)[None] + jnp.asarray(
+        rng.standard_normal((2, 32, 32, 2)).astype(np.float32) * scale)
+    got = grid_sample_bilinear_shifts(feat, grid, max_disp=2)
+    ref = grid_sample_bilinear(feat, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5, err_msg=desc)
+
+
+def test_shift_warp_exact_integer_coords(rng):
+    """Exact-integer sample positions (hat weight exactly 1/0).
+
+    Note identity_grid under align_corners=False is NOT an identity map
+    (pixel i samples at i*H/(H-1) - 0.5), so compare against the gather
+    path, plus a hand-built truly-integer grid.
+    """
+    from float_tpu.ops.warp_shifts import grid_sample_bilinear_shifts
+    h = 16
+    feat = jnp.asarray(rng.standard_normal((1, 4, h, h)).astype(np.float32))
+    # grid hitting exact integer pixel centers: g = (2p + 1)/H - 1
+    p = jnp.arange(h, dtype=jnp.float32)
+    g1d = (2 * p + 1) / h - 1
+    gx, gy = jnp.meshgrid(g1d, g1d)
+    grid = jnp.stack([gx, gy], -1)[None]
+    got = grid_sample_bilinear_shifts(feat, grid, max_disp=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(feat),
+                               rtol=1e-5, atol=1e-5)

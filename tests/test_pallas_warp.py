@@ -41,3 +41,18 @@ def test_overflow_mask_out_of_image_is_not_overflow():
     grid = identity_grid(h)[None] + 3.0       # far outside the image
     ov = _overflow_mask(h, w, grid[..., 1], grid[..., 0], my=8, mx=64)
     assert not bool(jnp.any(ov))
+
+
+def test_shift_kernel_supports_and_overflow():
+    from float_tpu.ops.pallas import shift_warp_kernel as sk
+    assert sk.supports((2, 32, 128, 128), (2, 128, 128, 2), jnp.bfloat16)
+    assert not sk.supports((2, 32, 64, 64), (2, 64, 64, 2), jnp.bfloat16)
+    assert not sk.supports((2, 32, 128, 128), (2, 128, 128, 2), jnp.float32)
+
+    h = w = 128
+    grid = identity_grid(h)[None] + 0.002        # sub-pixel flow
+    ov = sk._overflow_mask(h, w, grid[..., 1], grid[..., 0], 3)
+    assert not bool(jnp.any(ov))
+    grid_big = identity_grid(h)[None] + 0.2      # ~13 px: beyond D=3
+    ov2 = sk._overflow_mask(h, w, grid_big[..., 1], grid_big[..., 0], 3)
+    assert bool(jnp.any(ov2))
