@@ -172,3 +172,105 @@ def synthesis(params, wa, feats, size: int, alpha=None):
             skip = _to_rgb(out_warp, to_rgbs[str(lvl)], skip)
 
     return skip, flow64
+
+
+# ---------------------------------------------------------------------------
+# channels-last (NHWC) decode path — the TPU production path
+# ---------------------------------------------------------------------------
+
+def _styled_conv_cl(x, style, p, up: bool):
+    from ..ops.nhwc import modulated_conv2d_cl, fused_leaky_relu_cl
+    out = modulated_conv2d_cl(
+        x, style,
+        p["conv"]["weight"],
+        p["conv"]["modulation"]["weight"],
+        p["conv"]["modulation"]["bias"],
+        demodulate=True, up=up,
+    )
+    return fused_leaky_relu_cl(out, p["activate"]["bias"].reshape(-1))
+
+
+def _to_rgb_cl(x, p, skip=None):
+    from ..ops.nhwc import equal_conv2d_cl, fused_leaky_relu_cl, upsample2x_cl
+    out = equal_conv2d_cl(x, p["conv"]["0"]["weight"], stride=1, padding=0)
+    out = fused_leaky_relu_cl(out, p["conv"]["1"]["bias"].reshape(-1))
+    out = out + p["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
+    if skip is not None:
+        out = out + upsample2x_cl(skip)
+    return out
+
+
+def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=False):
+    from ..ops.nhwc import modulated_conv2d_cl, upsample2x_cl, warp_cl
+    out = modulated_conv2d_cl(
+        x, style,
+        p["conv"]["weight"],
+        p["conv"]["modulation"]["weight"],
+        p["conv"]["modulation"]["bias"],
+        demodulate=False,
+    )
+    out = out + p["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
+    if skip is not None:
+        out = out + upsample2x_cl(skip)
+
+    size = x.shape[1]
+    grid = identity_grid(size, dtype=jnp.float32)[None]
+    sampler = jnp.tanh(out[..., 0:2].astype(jnp.float32))
+    mask = jax.nn.sigmoid(out[..., 2:3].astype(jnp.float32))
+    flow = sampler + grid                                   # (B, H, W, 2) xy
+
+    feat_b = jnp.broadcast_to(feat, (x.shape[0],) + feat.shape[1:]) \
+        if feat.shape[0] != x.shape[0] else feat
+    feat_warp = warp_cl(feat_b.astype(x.dtype), flow.astype(jnp.float32),
+                        use_kernel=use_warp_kernel)
+    feat_warp = feat_warp * mask.astype(x.dtype)
+    merged = feat_warp + x * (1.0 - mask).astype(x.dtype)
+    return feat_warp, merged, out, flow
+
+
+def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = False):
+    """Channels-last synthesis forward — identical math to `synthesis` but
+    NHWC end-to-end so the warp kernels run without layout transposes.
+
+    feats_cl: the 7 encoder skip maps in (Bf, H, W, C) layout (transpose
+    them once per clip).  Returns (img (B, S, S, 3) in [-1, 1], flow64).
+
+    use_warp_kernel opts into the Pallas static-shift warp at the
+    128²/256² levels.  Default OFF: XLA's in-graph gathers fuse with
+    their surroundings and beat the kernel's isolated wins there; the
+    kernel pays once the 512² level gets frame-lane packing (4 frames x
+    32 ch = 128 lanes) — the round-2 unlock analyzed in PERF.md.
+    """
+    b = wa.shape[0]
+    log_size = int(math.log2(size))
+    n_levels = log_size - 2
+
+    const = jnp.transpose(params["input"]["input"], (0, 2, 3, 1))
+    out = jnp.broadcast_to(const, (b,) + const.shape[1:]).astype(wa.dtype)
+    out = _styled_conv_cl(out, wa, params["conv1"], up=False)
+
+    convs = params["convs"]
+    to_rgbs = params["to_rgbs"]
+    to_flows = params["to_flows"]
+
+    skip = None
+    skip_flow = None
+    flow64 = None
+    for lvl in range(n_levels):
+        out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True)
+        out = _styled_conv_cl(out, wa, convs[str(2 * lvl + 1)], up=False)
+        res = out.shape[1]
+        if res == 8:
+            out_warp, out, skip_flow, _ = _to_flow_cl(
+                out, wa, feats_cl[lvl], to_flows[str(lvl)],
+                use_warp_kernel=use_warp_kernel)
+            skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)])
+        else:
+            out_warp, out, skip_flow, fl = _to_flow_cl(
+                out, wa, feats_cl[lvl], to_flows[str(lvl)], skip_flow,
+                use_warp_kernel=use_warp_kernel)
+            if res == 64:
+                flow64 = fl
+            skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip)
+
+    return skip, flow64

@@ -1,0 +1,180 @@
+"""Channels-last (NHWC) variants of the synthesis ops.
+
+The decode path runs NHWC end-to-end so the warp kernels receive their
+native layout with no transposes around the pallas_call (a pallas_call is
+a fusion barrier: in NCHW the XLA gather's transposes fuse into neighbors
+while the kernel's cannot — measured conv-warp-conv in NHWC: shift kernel
+4.5x faster than the gather at 256², 1.7x at 512²; see PERF.md).
+
+Weights stay in torch layout (O, I, kH, kW) — lax convolutions take
+arbitrary dimension numbers, so no weight re-layout is needed.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .activations import leaky_relu, LRELU_SCALE
+from .equalized import equal_linear
+from .upfirdn import make_blur_kernel
+from .modulated import _EPS
+
+
+def fused_leaky_relu_cl(x, bias, negative_slope=0.2, scale=LRELU_SCALE):
+    """Bias broadcasts over the LAST (channel) dim."""
+    if bias is not None:
+        x = x + bias.reshape((1,) * (x.ndim - 1) + (-1,)).astype(x.dtype)
+    return leaky_relu(x, negative_slope) * scale
+
+
+def equal_conv2d_cl(x, weight, bias=None, stride=1, padding=0):
+    """NHWC conv, weight (O, I, kH, kW) torch layout."""
+    o, i, kh, kw = weight.shape
+    w = (weight * (1.0 / math.sqrt(i * kh * kw))).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(x.dtype)
+    return out
+
+
+def upfirdn2d_cl(x, kernel, up=1, down=1, pad=(0, 0)):
+    """NHWC depthwise upfirdn (same semantics as ops.upfirdn.upfirdn2d)."""
+    pad0, pad1 = pad
+    c = x.shape[-1]
+    kh, kw = kernel.shape
+    pad_hi = pad1 + (up - 1)
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    k = jnp.broadcast_to(k[:, :, None, None], (kh, kw, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, k, (down, down), ((pad0, pad_hi), (pad0, pad_hi)),
+        lhs_dilation=(up, up),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+def upsample2x_cl(x, blur_kernel=(1, 3, 3, 1)):
+    factor = 2
+    kernel = make_blur_kernel(blur_kernel, upsample_factor=factor)
+    p = kernel.shape[0] - factor
+    return upfirdn2d_cl(x, kernel, up=factor, down=1,
+                        pad=((p + 1) // 2 + factor - 1, p // 2))
+
+
+def modulated_conv2d_cl(x, style, weight, mod_weight, mod_bias,
+                        demodulate=True, up=False, blur_kernel=(1, 3, 3, 1)):
+    """NHWC modulated conv (input/output-scaling form; see ops.modulated)."""
+    b = x.shape[0]
+    in_c = x.shape[-1]
+    _, out_c, _, kh, kw = weight.shape
+    scale = 1.0 / math.sqrt(in_c * kh * kw)
+
+    s = equal_linear(style, mod_weight, mod_bias)            # (B, I)
+    w0 = weight[0]                                           # (O, I, kH, kW)
+
+    if demodulate:
+        w2 = jnp.sum((w0.astype(jnp.float32) * scale) ** 2, axis=(2, 3))
+        sig2 = jnp.einsum("oi,bi->bo", w2, s.astype(jnp.float32) ** 2)
+        demod = jax.lax.rsqrt(sig2 + _EPS)
+
+    xm = x * (s * scale).astype(x.dtype)[:, None, None, :]
+    cw = w0.astype(x.dtype)
+
+    if up:
+        wt = jnp.flip(cw, (2, 3))
+        out = jax.lax.conv_general_dilated(
+            xm, wt, (1, 1), ((kh - 1, kh - 1), (kw - 1, kw - 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        if demodulate:
+            out = out * demod.astype(x.dtype)[:, None, None, :]
+        factor = 2
+        p = (len(blur_kernel) - factor) - (kh - 1)
+        k = make_blur_kernel(blur_kernel, upsample_factor=factor)
+        return upfirdn2d_cl(out, k, pad=((p + 1) // 2 + factor - 1, p // 2 + 1))
+
+    pad = kh // 2
+    out = jax.lax.conv_general_dilated(
+        xm, cw, (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if demodulate:
+        out = out * demod.astype(x.dtype)[:, None, None, :]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# NHWC grid sampling
+# ---------------------------------------------------------------------------
+
+def grid_sample_bilinear_nhwc(feat, grid):
+    """Exact NHWC bilinear sample (patch gather), zeros padding,
+    align_corners=False.  feat (B, H, W, C), grid (B, Ho, Wo, 2) -> NHWC."""
+    from jax import lax
+    from .warp import _axis_weights, _PATCH_DNUMS
+
+    b, h, w, c = feat.shape
+    ho, wo = grid.shape[1], grid.shape[2]
+    p = ho * wo
+    gx = grid[..., 0].reshape(b, p).astype(jnp.float32)
+    gy = grid[..., 1].reshape(b, p).astype(jnp.float32)
+    fx = ((gx + 1.0) * w - 1.0) * 0.5
+    fy = ((gy + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - jnp.floor(fx)
+    ty = fy - jnp.floor(fy)
+
+    ys, wy0, wy1 = _axis_weights(y0, ty, h)
+    xs, wx0, wx1 = _axis_weights(x0, tx, w)
+
+    def per_item(f, y, x):
+        idx = jnp.stack([y, x], axis=-1)
+        return lax.gather(f, idx, _PATCH_DNUMS, slice_sizes=(2, 2, c),
+                          mode=lax.GatherScatterMode.CLIP)
+
+    patches = jax.vmap(per_item)(feat, ys, xs)               # (B, P, 2, 2, C)
+    wy0 = wy0.astype(feat.dtype)[..., None]
+    wy1 = wy1.astype(feat.dtype)[..., None]
+    wx0 = wx0.astype(feat.dtype)[..., None]
+    wx1 = wx1.astype(feat.dtype)[..., None]
+    out = (patches[:, :, 0, 0] * (wy0 * wx0)
+           + patches[:, :, 0, 1] * (wy0 * wx1)
+           + patches[:, :, 1, 0] * (wy1 * wx0)
+           + patches[:, :, 1, 1] * (wy1 * wx1))
+    return out.reshape(b, ho, wo, c)
+
+
+def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 3,
+            kernel_max_h: int = 256):
+    """NHWC warp dispatcher: Pallas static-shift kernel (same-size bf16
+    warps, 128²..kernel_max_h²) with exact cond-gather fixup, else the
+    NHWC gather.  At 512² the level has only 32 channels and the kernel's
+    lane padding (4x) loses to the gather, hence the default ceiling."""
+    b, h, w, c = feat.shape
+    same_size = grid.shape[1] == h and grid.shape[2] == w
+    if (use_kernel and same_size and feat.dtype == jnp.bfloat16
+            and 128 <= h <= kernel_max_h and w >= 128
+            and h % 16 == 0 and w % 128 == 0):
+        from .pallas.shift_warp_kernel import (
+            MARGIN, _shift_warp_nhwc, _overflow_mask)
+        gy = grid[..., 1]
+        gx = grid[..., 0]
+        fpad = feat if c >= 128 else jnp.pad(
+            feat, ((0, 0), (0, 0), (0, 0), (0, 128 - c)))
+        fpad = jnp.pad(fpad, ((0, 0), (MARGIN, MARGIN), (MARGIN, MARGIN),
+                              (0, 0)))
+        out = _shift_warp_nhwc(fpad, gy, gx, max_disp)[..., :c]
+        overflow = _overflow_mask(h, w, gy, gx, max_disp)
+
+        def fix(o):
+            exact = grid_sample_bilinear_nhwc(feat, grid)
+            return jnp.where(overflow[..., None], exact, o)
+
+        return jax.lax.cond(jnp.any(overflow), fix, lambda o: o, out)
+    return grid_sample_bilinear_nhwc(feat, grid)

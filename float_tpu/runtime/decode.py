@@ -27,13 +27,25 @@ import jax.numpy as jnp
 from ..models.synthesis import synthesis
 
 
-@partial(jax.jit, static_argnames=("size", "out_u8"))
-def _decode_chunk(params, wa_chunk, feats, size, out_u8=False):
-    """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8."""
-    img, _ = synthesis(params, wa_chunk, feats, size)
-    img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
-    img = (img + 1.0) * 0.5
-    img = jnp.transpose(img, (0, 2, 3, 1))
+@partial(jax.jit, static_argnames=("size", "out_u8", "channels_last"))
+def _decode_chunk(params, wa_chunk, feats, size, out_u8=False,
+                  channels_last=True):
+    """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8.
+
+    channels_last runs the NHWC synthesis path (feats must be NHWC): the
+    warp kernels get their native layout with no transposes, and the
+    output is already HWC.  Set False for the NCHW reference path.
+    """
+    if channels_last:
+        from ..models.synthesis import synthesis_cl
+        img, _ = synthesis_cl(params, wa_chunk, feats, size)
+        img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+        img = (img + 1.0) * 0.5
+    else:
+        img, _ = synthesis(params, wa_chunk, feats, size)
+        img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+        img = (img + 1.0) * 0.5
+        img = jnp.transpose(img, (0, 2, 3, 1))
     if out_u8:
         img = jnp.round(img * 255.0).astype(jnp.uint8)
     return img
@@ -65,7 +77,8 @@ def decode_latents(
     if t_pad != t_frames:
         wa = jnp.pad(wa, ((0, t_pad - t_frames), (0, 0)), mode="edge")
 
-    feats_c = [f.astype(dtype) for f in feats]
+    # NHWC path: transpose the 7 skip maps once per clip
+    feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
     params_c = jax.tree.map(lambda a: a.astype(dtype), synthesis_params)
 
     chunks = []
@@ -101,7 +114,7 @@ def decode_latents_to_host(
     wa = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dtype)
     if t_pad != t_frames:
         wa = jnp.pad(wa, ((0, t_pad - t_frames), (0, 0)), mode="edge")
-    feats_c = [f.astype(dtype) for f in feats]
+    feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
     params_c = jax.tree.map(lambda a: a.astype(dtype), synthesis_params)
 
     out = np.empty((t_frames, size, size, 3), np.float32)

@@ -126,3 +126,24 @@ def test_synthesis_alpha_paths(ref_encoder, ref_synthesis, rng):
                         alpha=[jnp.asarray(a) for a in alphas])
     np.testing.assert_allclose(np.asarray(img3), img3_ref.numpy(),
                                rtol=1e-3, atol=5e-3)
+
+
+def test_synthesis_channels_last_parity(ref_encoder, ref_synthesis, rng):
+    """NHWC decode path == NCHW path (and hence == reference)."""
+    from float_tpu.models.synthesis import synthesis_cl
+    x = rng.standard_normal((1, 3, SIZE, SIZE)).astype(np.float32)
+    enc_params = torch_state_to_pytree(ref_encoder.state_dict())
+    dec_params = torch_state_to_pytree(ref_synthesis.state_dict())
+    h, _, feats = encode_image(enc_params, jnp.asarray(x), SIZE, DIM)
+    wa = h + jnp.asarray(rng.standard_normal((4, DIM)).astype(np.float32) * 0.1)
+
+    img_nchw, flow_nchw = synthesis(dec_params, wa, feats, SIZE)
+    feats_cl = [jnp.transpose(f, (0, 2, 3, 1)) for f in feats]
+    img_cl, flow_cl = synthesis_cl(dec_params, wa, feats_cl, SIZE)
+
+    assert img_cl.shape == (4, SIZE, SIZE, 3)
+    np.testing.assert_allclose(np.asarray(img_cl),
+                               np.transpose(np.asarray(img_nchw), (0, 2, 3, 1)),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(flow_cl), np.asarray(flow_nchw),
+                               rtol=1e-4, atol=1e-5)
