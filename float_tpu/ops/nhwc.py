@@ -151,13 +151,20 @@ def grid_sample_bilinear_nhwc(feat, grid):
 
 
 def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 3,
-            kernel_max_h: int = 256):
+            kernel_max_h: int = 256, shared_feat=None):
     """NHWC warp dispatcher: Pallas static-shift kernel (same-size bf16
     warps, 128²..kernel_max_h²) with exact cond-gather fixup, else the
-    NHWC gather.  At 512² the level has only 32 channels and the kernel's
-    lane padding (4x) loses to the gather, hence the default ceiling."""
+    NHWC gather.  At 512² the level has only 32 channels so the plain
+    kernel's lane padding (4x) loses to the gather — but when the feature
+    map is SHARED across frames (``shared_feat`` (1, H, W, C<=32), the
+    decode case) the frame-lane-packed kernel applies there instead."""
     b, h, w, c = feat.shape
     same_size = grid.shape[1] == h and grid.shape[2] == w
+    if (use_kernel and same_size and feat.dtype == jnp.bfloat16
+            and shared_feat is not None and h > kernel_max_h
+            and c <= 32 and b % 4 == 0 and h % 8 == 0 and w % 128 == 0):
+        from .pallas.shift_warp_packed import warp_shared_feat_packed
+        return warp_shared_feat_packed(shared_feat, grid, max_disp=max_disp)
     if (use_kernel and same_size and feat.dtype == jnp.bfloat16
             and 128 <= h <= kernel_max_h and w >= 128
             and h % 16 == 0 and w % 128 == 0):
