@@ -200,3 +200,10 @@ def supports(feat_shape, grid_shape, dtype) -> bool:
             and h % TR == 0 and w % TC == 0
             and grid_shape[1] == h and grid_shape[2] == w
             and c % min(c, 128) == 0)
+
+
+# NOTE: this kernel lives in experiments/ (off the production import path).
+# It is correct but measured SLOWER than both the XLA patch gather and the
+# static-shift kernels (the one-hot selection construction is
+# O(window_area x pixels) on the VPU) — see PERF.md "Warp kernel findings".
+# Kept for the measured analysis and as MXU-reformulation groundwork.

@@ -71,33 +71,94 @@ def _audio_to_waves(audio: AudioLike, sr: int = 16000) -> List[np.ndarray]:
 # Regular tier
 # ===========================================================================
 
-def load_float_models(model: str = "models/float/FLOAT.safetensors",
+def _resolve_checkpoint_path(model: str, models_root: str) -> str:
+    """Model-store discovery: an existing path wins; otherwise a bare file
+    name resolves under <models_root>/float/ (the reference's convention,
+    nodes.py:62-63: ckpt path = folder_paths.models_dir/float/<model>)."""
+    import os
+    if os.path.exists(model):
+        return model
+    if os.sep not in model and models_root:
+        return os.path.join(models_root, "float", model)
+    return model
+
+
+def _legacy_wav2vec_dirs(models_root: str, float_dir: str):
+    """Locate the two HF dirs for the legacy .pth path: <float_dir>/<name>
+    first, models/audio/<name> as the alternate
+    (reference: nodes.py:70-87)."""
+    import os
+    dirs = []
+    for name in ("wav2vec2-base-960h",
+                 "wav2vec-english-speech-emotion-recognition"):
+        primary = os.path.join(float_dir, name)
+        alt = os.path.join(models_root, "audio", name)
+        dirs.append(primary if os.path.isdir(primary)
+                    else (alt if os.path.isdir(alt) else primary))
+    return tuple(dirs)
+
+
+def load_float_models(model: str = "FLOAT.safetensors",
                       target_device: str = "tpu",
                       advanced_float_options: Optional[dict] = None,
-                      cfg: Optional[FloatConfig] = None) -> FloatPipe:
-    """LoadFloatModelsOpt: unified checkpoint -> FLOAT_PIPE.
+                      cfg: Optional[FloatConfig] = None,
+                      models_root: str = "models",
+                      allow_synthetic: bool = False) -> FloatPipe:
+    """LoadFloatModelsOpt: unified checkpoint (or legacy float.pth + HF
+    dirs) -> FLOAT_PIPE (reference: nodes.py:23-143).
 
-    (reference: nodes.py:23-143; auto-download is handled by
-    io.download.ensure_model_part_exists when the file is missing and the
-    environment has network access.)
+    ``model`` may be an explicit path or a bare file name resolved under
+    ``<models_root>/float/``.  Missing files are auto-downloaded when the
+    environment has network access (unified: FLOAT_URL; legacy: the
+    yuvraj108c/float snapshot, reference nodes.py:93-94).  A missing,
+    non-downloadable checkpoint raises FileNotFoundError unless
+    ``allow_synthetic=True`` explicitly requests a random-weight pipeline
+    (tests / benchmarks only — never silently).
     """
     import os
+    from ..audio.features import DEFAULT_FE, load_preprocessor_config
     cfg = (cfg or FloatConfig()).validate()
     cfg = apply_adv_options(cfg, advanced_float_options)
-    if os.path.exists(model):
-        params = ckpt.load_unified_checkpoint(model)
-        pipe = FloatPipeline(params, cfg)
-        return FloatPipe(pipe, cfg, weights="real")
-    from ..io.download import ensure_model_file
-    fetched = ensure_model_file(model)
-    if fetched:
-        params = ckpt.load_unified_checkpoint(model)
-        pipe = FloatPipeline(params, cfg)
-        return FloatPipe(pipe, cfg, weights="real")
-    logger.warning("checkpoint %s not found and not downloadable; "
-                   "building synthetic-weight pipeline", model)
+    path = _resolve_checkpoint_path(model, models_root)
+    float_dir = os.path.dirname(path) or "."
+    fe = DEFAULT_FE   # the bundled preprocessor_config.json settings
+
+    if model.lower().endswith(".pth"):
+        # legacy layout: float.pth + two HF dirs (reference: nodes.py:66-94)
+        w2v_dir, ser_dir = _legacy_wav2vec_dirs(models_root, float_dir)
+        if not (os.path.exists(path) and os.path.isdir(w2v_dir)
+                and os.path.isdir(ser_dir)):
+            from ..io.download import snapshot_download_fallback
+            snapshot_download_fallback("yuvraj108c/float", float_dir)
+            w2v_dir, ser_dir = _legacy_wav2vec_dirs(models_root, float_dir)
+        if os.path.exists(path):
+            params = ckpt.load_legacy_checkpoint(path, w2v_dir, ser_dir)
+            try:
+                fe = load_preprocessor_config(w2v_dir)
+            except FileNotFoundError:
+                logger.warning("no preprocessor_config.json in %s; using "
+                               "bundled defaults", w2v_dir)
+            return FloatPipe(FloatPipeline(params, cfg), cfg,
+                             weights="real", fe=fe)
+    else:
+        if not os.path.exists(path):
+            from ..io.download import ensure_model_file
+            ensure_model_file(path)
+        if os.path.exists(path):
+            params = ckpt.load_unified_checkpoint(path)
+            return FloatPipe(FloatPipeline(params, cfg), cfg,
+                             weights="real", fe=fe)
+
+    if not allow_synthetic:
+        raise FileNotFoundError(
+            f"FLOAT checkpoint not found at {path!r} and could not be "
+            "downloaded. Pass allow_synthetic=True to run with random "
+            "weights (tests/benchmarks only).")
+    logger.warning("checkpoint %s not found; building synthetic-weight "
+                   "pipeline (allow_synthetic=True)", path)
     from ..runtime.pipeline import build_synthetic_pipeline
-    return FloatPipe(build_synthetic_pipeline(cfg), cfg, weights="synthetic")
+    return FloatPipe(build_synthetic_pipeline(cfg), cfg,
+                     weights="synthetic", fe=fe)
 
 
 def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
@@ -120,13 +181,16 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
     n = max(img.shape[0], len(waves))
 
     all_frames = []
+    used_audio_idx = []
     for i in range(n):
         im = img[min(i, img.shape[0] - 1)]
-        wave = waves[min(i, len(waves) - 1)]
+        ai = min(i, len(waves) - 1)
+        wave = waves[ai]
+        used_audio_idx.append(ai)
         model_in, _bbox = comfy_image_to_model_input(
             im, cfg.input_size, cfg.rgba_conversion, cfg.bkg_color_hex,
             face_align=face_align, face_margin=cfg.face_margin)
-        wave_n = jnp.asarray(normalize_waveform(wave)[None])
+        wave_n = jnp.asarray(normalize_waveform(wave, float_pipe.fe)[None])
         img_dev = jnp.asarray(model_in)
         t_frames = audio_num_frames(wave_n.shape[-1], cfg)
         s_r, _lam, feats, r_s = pipe.encode_image(img_dev)
@@ -137,7 +201,25 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
         # streamed host transfer: uint8 on the wire, chunk transfers
         # overlap decode compute (long-clip friendly)
         all_frames.append(pipe.decode_to_host(s_r, feats, r_d))
-    return np.concatenate(all_frames, axis=0), ref_audio, fps
+
+    # batch > 1 returns the concatenated *used* audio so downstream video
+    # muxing lines up with the frame concat (reference: nodes.py:213-222)
+    out_audio: AudioLike = ref_audio
+    if n > 1:
+        if isinstance(ref_audio, dict):
+            wf = np.asarray(ref_audio["waveform"])
+            if wf.ndim == 2:
+                wf = wf[None]
+            cat = np.concatenate([wf[ai] for ai in used_audio_idx], axis=-1)
+            out_audio = {"waveform": cat[None],
+                         "sample_rate": ref_audio["sample_rate"]}
+        else:
+            arr = np.asarray(ref_audio, dtype=np.float32)
+            if arr.ndim == 1:
+                arr = arr[None]
+            out_audio = np.concatenate(
+                [arr[ai] for ai in used_audio_idx], axis=-1)[None]
+    return np.concatenate(all_frames, axis=0), out_audio, fps
 
 
 # ===========================================================================
@@ -218,7 +300,7 @@ def float_encode_audio_to_wa(float_pipe: FloatPipe, ref_audio: AudioLike,
     processed_audio_features (B,N)) (reference: nodes_adv.py:381-472)."""
     cfg = float_pipe.cfg.replace(fps=fps)
     waves = _audio_to_waves(ref_audio, cfg.sampling_rate)
-    batch = extract_features(waves)
+    batch = extract_features(waves, float_pipe.fe)
     t_frames = audio_num_frames(batch.shape[1], cfg)
     wa = float_pipe.pipeline.encode_audio(jnp.asarray(batch), t_frames)
     return wa, t_frames, batch
@@ -281,11 +363,24 @@ def float_decode_latents_to_images(float_pipe: FloatPipe,
 # Very Advanced tier — loaders
 # ===========================================================================
 
+def _dir_fe(model_dir: str):
+    """The dir's own preprocessor_config.json, bundled defaults when
+    absent (reference loads the fe per model dir,
+    nodes_vadv_loader.py:139)."""
+    from ..audio.features import DEFAULT_FE, load_preprocessor_config
+    try:
+        return load_preprocessor_config(model_dir)
+    except FileNotFoundError:
+        logger.warning("no preprocessor_config.json in %s; using bundled "
+                       "defaults", model_dir)
+        return DEFAULT_FE
+
+
 def load_wav2vec_model(model_dir: str) -> Wav2VecPipe:
-    """LoadWav2VecModel: HF dir -> WAV2VEC_PIPE
-    (reference: nodes_vadv_loader.py:60-156)."""
+    """LoadWav2VecModel: HF dir -> WAV2VEC_PIPE (model + its own feature
+    extractor) (reference: nodes_vadv_loader.py:60-156)."""
     params, cfg, _ = load_wav2vec2_dir(model_dir)
-    return Wav2VecPipe(params=params, config=cfg)
+    return Wav2VecPipe(params=params, config=cfg, fe=_dir_fe(model_dir))
 
 
 def load_audio_projection(path: str) -> AudioProjectionLayer:
@@ -302,7 +397,8 @@ def load_emotion_model(model_dir: str) -> EmotionModelPipe:
     """LoadEmotionRecognitionModel: HF SER dir -> EMOTION_MODEL_PIPE
     (reference: nodes_vadv_loader.py:260-338)."""
     params, cfg, id2label = load_wav2vec2_dir(model_dir)
-    return EmotionModelPipe(params=params, config=cfg, id2label=id2label)
+    return EmotionModelPipe(params=params, config=cfg, id2label=id2label,
+                            fe=_dir_fe(model_dir))
 
 
 def load_float_encoder(path: str) -> EncoderModel:
@@ -315,14 +411,38 @@ def load_float_encoder(path: str) -> EncoderModel:
                         dim_motion=arch["dim_motion"])
 
 
+def safe_parse_list_str(list_str: str, expected_type=int) -> list:
+    """Parse a Python-list string like "[1, 3, 3, 1]" with validation
+    (reference: nodes_vadv_loader.py:37-57)."""
+    import ast
+    try:
+        parsed = ast.literal_eval(list_str)
+        if not isinstance(parsed, list):
+            raise TypeError("not a list")
+        if not all(isinstance(x, expected_type) for x in parsed):
+            raise TypeError(f"elements must be {expected_type.__name__}")
+        return parsed
+    except (ValueError, TypeError, SyntaxError, MemoryError,
+            RecursionError) as e:
+        raise ValueError(
+            f"Invalid list format {list_str!r}; use Python list syntax, "
+            "e.g. '[1, 3, 3, 1]'.") from e
+
+
 def load_float_synthesis(path: str, channel_multiplier: int = 1,
                          blur_kernel=(1, 3, 3, 1)) -> SynthesisModel:
-    """LoadFloatSynthesisModel (reference: nodes_vadv_loader.py:476-652)."""
+    """LoadFloatSynthesisModel (reference: nodes_vadv_loader.py:476-652).
+    ``blur_kernel`` accepts a tuple/list or the reference's UI string form
+    ("[1, 3, 3, 1]", parsed via safe_parse_list_str)."""
+    if isinstance(blur_kernel, str):
+        blur_kernel = tuple(safe_parse_list_str(blur_kernel))
     flat = ckpt.load_safetensors(path)
     arch = ckpt.infer_synthesis_arch(flat)
     return SynthesisModel(params=ckpt.flat_to_pytree(flat),
                           size=arch["size"], style_dim=arch["style_dim"],
-                          motion_dim=arch["motion_dim"])
+                          motion_dim=arch["motion_dim"],
+                          blur_kernel=tuple(blur_kernel),
+                          channel_multiplier=channel_multiplier)
 
 
 def load_fmt_model(path: str, dim_e: int = 7, num_heads: int = 8,
@@ -358,8 +478,8 @@ def audio_preprocess_and_feature_extract(
     """FloatAudioPreprocessAndFeatureExtract -> (features (B,T,9216|768),
     processed_audio (B,N), audio_num_frames)
     (reference: nodes_vadv.py:28-144)."""
-    waves = _audio_to_waves(ref_audio)
-    batch = extract_features(waves)
+    waves = _audio_to_waves(ref_audio, wav2vec_pipe.expected_sr)
+    batch = extract_features(waves, wav2vec_pipe.fe)
     cfg = FloatConfig(fps=fps)
     t_frames = audio_num_frames(batch.shape[1], cfg)
     wave = pad_wave_to_frames(jnp.asarray(batch), t_frames, cfg)
@@ -391,8 +511,8 @@ def extract_emotion(emotion_pipe: EmotionModelPipe,
         return jax.nn.one_hot(jnp.asarray([[idx]]), dim_e)
     if ref_audio is None:
         raise ValueError("emotion='none' requires audio")
-    waves = _audio_to_waves(ref_audio)
-    batch = extract_features(waves)
+    waves = _audio_to_waves(ref_audio, emotion_pipe.fe.sampling_rate)
+    batch = extract_features(waves, emotion_pipe.fe)
     return _predict_emotion(emotion_pipe.params, jnp.asarray(batch),
                             emotion_pipe.config)[:, None, :]
 
@@ -416,7 +536,7 @@ def extract_emotion_dynamic(emotion_pipe: EmotionModelPipe,
             chunk = wave[ci * chunk_len:(ci + 1) * chunk_len]
             if len(chunk) == 0:
                 break
-            feats = extract_features([chunk])
+            feats = extract_features([chunk], emotion_pipe.fe)
             s = _predict_emotion(emotion_pipe.params, jnp.asarray(feats),
                                  emotion_pipe.config)
             chunk_scores.append(np.asarray(s)[0])
@@ -495,5 +615,6 @@ def apply_float_synthesis(synthesis_model: SynthesisModel,
         outs.append(decode_latents_to_host(
             synthesis_model.params, appearance_pipe.h_source[i:i + 1],
             feats_i, r_d[i], size=synthesis_model.size,
-            decode_batch=decode_batch))
+            decode_batch=decode_batch,
+            blur_kernel=tuple(synthesis_model.blur_kernel)))
     return np.concatenate(outs, axis=0), fps

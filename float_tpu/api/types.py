@@ -12,6 +12,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Tuple
 
 from ..config import FloatConfig, Wav2Vec2Config
+from ..audio.features import FeatureExtractorConfig, DEFAULT_FE
 
 
 @dataclass
@@ -20,6 +21,9 @@ class FloatPipe:
     pipeline: Any                       # runtime.pipeline.FloatPipeline
     cfg: FloatConfig
     weights: str = "unknown"            # "real" | "synthetic"
+    # the DataProcessor's Wav2Vec2FeatureExtractor settings (reference:
+    # generate.py:42-67 — bundled preprocessor_config.json by default)
+    fe: FeatureExtractorConfig = DEFAULT_FE
 
 
 @dataclass
@@ -31,18 +35,26 @@ class AppearancePipe:
 
 @dataclass
 class Wav2VecPipe:
-    """WAV2VEC_PIPE: (model params, config) + device/sr metadata."""
+    """WAV2VEC_PIPE: (model params, feature extractor, config) + sr
+    metadata (reference: nodes_vadv_loader.py:82,151 — the pipe carries
+    the model dir's own Wav2Vec2FeatureExtractor)."""
     params: dict
     config: Wav2Vec2Config
-    expected_sr: int = 16000
+    fe: FeatureExtractorConfig = DEFAULT_FE
+
+    @property
+    def expected_sr(self) -> int:
+        return self.fe.sampling_rate
 
 
 @dataclass
 class EmotionModelPipe:
-    """EMOTION_MODEL_PIPE: (SER params, config, label maps)."""
+    """EMOTION_MODEL_PIPE: (SER params, feature extractor, config, label
+    maps) (reference: nodes_vadv_loader.py:282,335)."""
     params: dict
     config: Wav2Vec2Config
     id2label: Dict[int, str] = field(default_factory=dict)
+    fe: FeatureExtractorConfig = DEFAULT_FE
 
     @property
     def label2id(self) -> Dict[str, int]:
@@ -77,6 +89,8 @@ class SynthesisModel:
     size: int
     style_dim: int
     motion_dim: int
+    blur_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    channel_multiplier: int = 1
 
 
 @dataclass

@@ -21,6 +21,32 @@ def _setup_logging(verbose: int):
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
 
 
+def load_image_file(path: str):
+    """Read an image file into (H, W, 3|4) float32 RGB(A) in [0, 1].
+
+    .npy arrays load directly (auto-scaled from uint8 range); cv2 images
+    keep their alpha channel so float_process can apply the RGBA
+    strategies (blend/discard/replace, reference utils/image.py:38-131).
+    """
+    import numpy as np
+    if path.endswith(".npy"):
+        img = np.load(path).astype(np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        return img
+    import cv2
+    raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if raw is None:
+        raise FileNotFoundError(f"cannot read image {path}")
+    if raw.ndim == 2:
+        raw = cv2.cvtColor(raw, cv2.COLOR_GRAY2RGB)
+    elif raw.shape[-1] == 4:
+        raw = cv2.cvtColor(raw, cv2.COLOR_BGRA2RGBA)
+    else:
+        raw = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+    return raw.astype(np.float32) / 255.0
+
+
 def cmd_generate(args):
     import numpy as np
     import cv2
@@ -30,11 +56,9 @@ def cmd_generate(args):
     pipe = load_float_models(args.checkpoint,
                              advanced_float_options=(
                                  json.loads(args.adv_options)
-                                 if args.adv_options else None))
-    img = cv2.cvtColor(cv2.imread(args.image, cv2.IMREAD_UNCHANGED),
-                       cv2.COLOR_BGR2RGB if not args.image.endswith(".npy")
-                       else cv2.COLOR_BGR2RGB)
-    img = img.astype(np.float32) / 255.0
+                                 if args.adv_options else None),
+                             allow_synthetic=args.allow_synthetic)
+    img = load_image_file(args.image)
 
     import wave as wavmod
     if args.audio.endswith(".npy"):
@@ -131,6 +155,9 @@ def main(argv=None):
     g.add_argument("--face-align", action="store_true")
     g.add_argument("--seed", type=int, default=15)
     g.add_argument("--adv-options", help="JSON ADV_FLOAT_DICT overrides")
+    g.add_argument("--allow-synthetic", action="store_true",
+                   help="run with random weights when the checkpoint is "
+                        "missing (testing only)")
     g.set_defaults(func=cmd_generate)
 
     i = sub.add_parser("inspect", help="show checkpoint structure + arch")

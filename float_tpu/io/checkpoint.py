@@ -186,7 +186,6 @@ def infer_encoder_arch(flat: Mapping[str, np.ndarray]) -> dict:
     dim_m = flat["fc.4.weight"].shape[0]
     dim_w = flat["fc.0.weight"].shape[0]
     first_out = flat["net_app.convs.0.0.weight"].shape[0]
-    inv = {c: s for s, c in CHANNELS_MAP.items()}
     # first conv maps 3 -> CHANNELS_MAP[input_size]; smallest size wins ties
     sizes = sorted(s for s, c in CHANNELS_MAP.items() if c == first_out)
     if not sizes:

@@ -106,3 +106,86 @@ def ensure_model_file(dest: str, url: str = FLOAT_URL) -> Optional[str]:
     if download_file(url, dest):
         return dest
     return None
+
+
+# ---------------------------------------------------------------------------
+# model-store discovery (reference: utils/downloader.py:135-175,
+# nodes_vadv_loader.py:29-34) — directory conventions under <models_root>:
+#   float/FLOAT.safetensors                  unified checkpoint
+#   float/audio_projections/*.safetensors    projection parts
+#   float/motion_autoencoder/*.safetensors   encoder/decoder parts
+#   float/fmt/*.safetensors                  FMT parts
+#   audio/<hf-dir>/                          wav2vec2 / SER HF dirs
+# ---------------------------------------------------------------------------
+
+PROJECTIONS_DIR = "float/audio_projections"
+MOTION_AE_DIR = "float/motion_autoencoder"
+FMT_SUBDIR = "float/fmt"
+WAV2VEC_DIRS_ROOT = "audio"
+
+
+def look_for_models(models_root: str, f_dir: str, default_name: str) -> list:
+    """List .safetensors files under <models_root>/<f_dir>, default first.
+
+    Mirrors the reference's loader-dropdown population
+    (utils/downloader.py:135-148): the default name always leads, even when
+    the file does not exist yet (it would be downloaded on demand).
+    """
+    models_path = os.path.join(models_root, f_dir)
+    if not os.path.isdir(models_path):
+        try:
+            os.makedirs(models_path, exist_ok=True)
+        except OSError:
+            pass
+    others = []
+    if os.path.isdir(models_path):
+        others = sorted(f for f in os.listdir(models_path)
+                        if f.endswith(".safetensors") and f != default_name)
+    return [default_name] + others
+
+
+def look_for_model_dirs(models_root: str, f_dir: str, default_name: str) -> list:
+    """List HF model directories (config.json + weights file) under
+    <models_root>/<f_dir>, default first
+    (reference: utils/downloader.py:151-175)."""
+    models_path = os.path.join(models_root, f_dir)
+    if not os.path.isdir(models_path):
+        try:
+            os.makedirs(models_path, exist_ok=True)
+        except OSError:
+            pass
+    others = []
+    if os.path.isdir(models_path):
+        for name in os.listdir(models_path):
+            if name == default_name:
+                continue
+            full = os.path.join(models_path, name)
+            if (os.path.isdir(full)
+                    and os.path.exists(os.path.join(full, "config.json"))
+                    and any(os.path.exists(os.path.join(full, w)) for w in
+                            ("pytorch_model.bin", "model.safetensors",
+                             "tf_model.h5"))):
+                others.append(name)
+    return [default_name] + sorted(others)
+
+
+def resolve_model_path(models_root: str, f_dir: str, name: str) -> str:
+    """<models_root>/<f_dir>/<name> — the store's path convention."""
+    return os.path.join(models_root, f_dir, name)
+
+
+def snapshot_download_fallback(repo_id: str, local_dir: str) -> bool:
+    """Best-effort huggingface_hub.snapshot_download (the legacy-path
+    fallback, reference: nodes.py:93-94).  Returns False offline."""
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError:
+        logger.warning("huggingface_hub not available; cannot snapshot %s",
+                       repo_id)
+        return False
+    try:
+        snapshot_download(repo_id=repo_id, local_dir=local_dir)
+        return True
+    except Exception as exc:
+        logger.warning("snapshot_download(%s) failed: %s", repo_id, exc)
+        return False

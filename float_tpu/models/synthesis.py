@@ -49,7 +49,7 @@ def direction(params, alpha):
     return jnp.einsum("...m,dm->...d", alpha.astype(jnp.float32), q)
 
 
-def _styled_conv(x, style, p, up: bool):
+def _styled_conv(x, style, p, up: bool, blur_kernel=(1, 3, 3, 1)):
     """StyledConv: modulated conv (+opt. upsample) -> fused lrelu.
 
     NoiseInjection is identity at inference (noise=None;
@@ -61,12 +61,12 @@ def _styled_conv(x, style, p, up: bool):
         p["conv"]["weight"],
         p["conv"]["modulation"]["weight"],
         p["conv"]["modulation"]["bias"],
-        demodulate=True, up=up,
+        demodulate=True, up=up, blur_kernel=blur_kernel,
     )
     return fused_leaky_relu(out, p["activate"]["bias"].reshape(-1))
 
 
-def _to_rgb(x, p, skip=None):
+def _to_rgb(x, p, skip=None, blur_kernel=(1, 3, 3, 1)):
     """ToRGB: EqualConv2d(k1)+fused-lrelu, +bias, +2x-upsampled skip.
 
     (reference: styledecoder.py:368-386 — note the ConvLayer here includes
@@ -76,11 +76,11 @@ def _to_rgb(x, p, skip=None):
     out = fused_leaky_relu(out, p["conv"]["1"]["bias"].reshape(-1))
     out = out + p["bias"].reshape(1, 3, 1, 1).astype(out.dtype)
     if skip is not None:
-        out = out + upsample2x(skip)
+        out = out + upsample2x(skip, blur_kernel)
     return out
 
 
-def _to_flow(x, style, feat, p, skip=None):
+def _to_flow(x, style, feat, p, skip=None, blur_kernel=(1, 3, 3, 1)):
     """ToFlow: predict (flow xy, mask) and warp ``feat`` onto the grid.
 
     Returns (feat_warp, merged, raw_out, flow) matching the reference
@@ -99,7 +99,7 @@ def _to_flow(x, style, feat, p, skip=None):
     )
     out = out + p["bias"].reshape(1, 3, 1, 1).astype(out.dtype)
     if skip is not None:
-        out = out + upsample2x(skip)
+        out = out + upsample2x(skip, blur_kernel)
 
     size = x.shape[2]
     grid = identity_grid(size, dtype=jnp.float32)[None]
@@ -115,7 +115,8 @@ def _to_flow(x, style, feat, p, skip=None):
     return feat_warp, merged, out, flow
 
 
-def synthesis(params, wa, feats, size: int, alpha=None):
+def synthesis(params, wa, feats, size: int, alpha=None,
+              blur_kernel=(1, 3, 3, 1)):
     """Decode latent(s) into image(s).
 
     wa:    (B, style_dim) combined appearance+motion latent (s_r + r_d_t);
@@ -149,7 +150,8 @@ def synthesis(params, wa, feats, size: int, alpha=None):
 
     const = params["input"]["input"]
     out = jnp.broadcast_to(const, (b,) + const.shape[1:]).astype(wa.dtype)
-    out = _styled_conv(out, wa, params["conv1"], up=False)
+    out = _styled_conv(out, wa, params["conv1"], up=False,
+                       blur_kernel=blur_kernel)
 
     convs = params["convs"]
     to_rgbs = params["to_rgbs"]
@@ -159,17 +161,25 @@ def synthesis(params, wa, feats, size: int, alpha=None):
     skip_flow = None
     flow64 = None
     for lvl in range(n_levels):
-        out = _styled_conv(out, wa, convs[str(2 * lvl)], up=True)
-        out = _styled_conv(out, wa, convs[str(2 * lvl + 1)], up=False)
+        out = _styled_conv(out, wa, convs[str(2 * lvl)], up=True,
+                           blur_kernel=blur_kernel)
+        out = _styled_conv(out, wa, convs[str(2 * lvl + 1)], up=False,
+                           blur_kernel=blur_kernel)
         res = out.shape[2]
         if res == 8:
-            out_warp, out, skip_flow, _ = _to_flow(out, wa, feats[lvl], to_flows[str(lvl)])
-            skip = _to_rgb(out_warp, to_rgbs[str(lvl)])
+            out_warp, out, skip_flow, _ = _to_flow(
+                out, wa, feats[lvl], to_flows[str(lvl)],
+                blur_kernel=blur_kernel)
+            skip = _to_rgb(out_warp, to_rgbs[str(lvl)],
+                           blur_kernel=blur_kernel)
         else:
-            out_warp, out, skip_flow, fl = _to_flow(out, wa, feats[lvl], to_flows[str(lvl)], skip_flow)
+            out_warp, out, skip_flow, fl = _to_flow(
+                out, wa, feats[lvl], to_flows[str(lvl)], skip_flow,
+                blur_kernel=blur_kernel)
             if res == 64:
                 flow64 = fl
-            skip = _to_rgb(out_warp, to_rgbs[str(lvl)], skip)
+            skip = _to_rgb(out_warp, to_rgbs[str(lvl)], skip,
+                           blur_kernel=blur_kernel)
 
     return skip, flow64
 
@@ -178,29 +188,30 @@ def synthesis(params, wa, feats, size: int, alpha=None):
 # channels-last (NHWC) decode path — the TPU production path
 # ---------------------------------------------------------------------------
 
-def _styled_conv_cl(x, style, p, up: bool):
+def _styled_conv_cl(x, style, p, up: bool, blur_kernel=(1, 3, 3, 1)):
     from ..ops.nhwc import modulated_conv2d_cl, fused_leaky_relu_cl
     out = modulated_conv2d_cl(
         x, style,
         p["conv"]["weight"],
         p["conv"]["modulation"]["weight"],
         p["conv"]["modulation"]["bias"],
-        demodulate=True, up=up,
+        demodulate=True, up=up, blur_kernel=blur_kernel,
     )
     return fused_leaky_relu_cl(out, p["activate"]["bias"].reshape(-1))
 
 
-def _to_rgb_cl(x, p, skip=None):
+def _to_rgb_cl(x, p, skip=None, blur_kernel=(1, 3, 3, 1)):
     from ..ops.nhwc import equal_conv2d_cl, fused_leaky_relu_cl, upsample2x_cl
     out = equal_conv2d_cl(x, p["conv"]["0"]["weight"], stride=1, padding=0)
     out = fused_leaky_relu_cl(out, p["conv"]["1"]["bias"].reshape(-1))
     out = out + p["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
     if skip is not None:
-        out = out + upsample2x_cl(skip)
+        out = out + upsample2x_cl(skip, blur_kernel)
     return out
 
 
-def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True):
+def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
+                blur_kernel=(1, 3, 3, 1)):
     from ..ops.nhwc import modulated_conv2d_cl, upsample2x_cl, warp_cl
     out = modulated_conv2d_cl(
         x, style,
@@ -211,7 +222,7 @@ def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True):
     )
     out = out + p["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
     if skip is not None:
-        out = out + upsample2x_cl(skip)
+        out = out + upsample2x_cl(skip, blur_kernel)
 
     size = x.shape[1]
     grid = identity_grid(size, dtype=jnp.float32)[None]
@@ -231,7 +242,8 @@ def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True):
     return feat_warp, merged, out, flow
 
 
-def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True):
+def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
+                 blur_kernel=(1, 3, 3, 1)):
     """Channels-last synthesis forward — identical math to `synthesis` but
     NHWC end-to-end so the warp kernels run without layout transposes.
 
@@ -250,7 +262,8 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True):
 
     const = jnp.transpose(params["input"]["input"], (0, 2, 3, 1))
     out = jnp.broadcast_to(const, (b,) + const.shape[1:]).astype(wa.dtype)
-    out = _styled_conv_cl(out, wa, params["conv1"], up=False)
+    out = _styled_conv_cl(out, wa, params["conv1"], up=False,
+                          blur_kernel=blur_kernel)
 
     convs = params["convs"]
     to_rgbs = params["to_rgbs"]
@@ -260,20 +273,24 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True):
     skip_flow = None
     flow64 = None
     for lvl in range(n_levels):
-        out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True)
-        out = _styled_conv_cl(out, wa, convs[str(2 * lvl + 1)], up=False)
+        out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True,
+                              blur_kernel=blur_kernel)
+        out = _styled_conv_cl(out, wa, convs[str(2 * lvl + 1)], up=False,
+                              blur_kernel=blur_kernel)
         res = out.shape[1]
         if res == 8:
             out_warp, out, skip_flow, _ = _to_flow_cl(
                 out, wa, feats_cl[lvl], to_flows[str(lvl)],
-                use_warp_kernel=use_warp_kernel)
-            skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)])
+                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel)
+            skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)],
+                              blur_kernel=blur_kernel)
         else:
             out_warp, out, skip_flow, fl = _to_flow_cl(
                 out, wa, feats_cl[lvl], to_flows[str(lvl)], skip_flow,
-                use_warp_kernel=use_warp_kernel)
+                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel)
             if res == 64:
                 flow64 = fl
-            skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip)
+            skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip,
+                              blur_kernel=blur_kernel)
 
     return skip, flow64

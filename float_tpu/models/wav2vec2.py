@@ -176,10 +176,27 @@ def wav2vec2_frame_features(params, wave: jnp.ndarray, seq_len: int,
                             collect_hidden: bool = True) -> EncoderOutput:
     """The reference Wav2VecModel.forward: conv features linearly resampled
     to ``seq_len`` video frames, then projected + encoded
-    (reference: wav2vec2.py:33-98)."""
+    (reference: wav2vec2.py:33-98) — composition of the two split stages
+    below (feature_extract + encode, wav2vec2.py:100-181)."""
+    feats = feature_extract(params, wave, seq_len, cfg)
+    return encode(params, feats, cfg, collect_hidden=collect_hidden)
+
+
+def feature_extract(params, wave: jnp.ndarray, seq_len: int,
+                    cfg: Wav2Vec2Config) -> jnp.ndarray:
+    """Split stage 1 of the reference Wav2VecModel: conv features
+    interpolated to the frame grid (reference: wav2vec2.py:100-119).
+    Returns (B, seq_len, conv_dim[-1])."""
     feats = feature_extractor(params["feature_extractor"], wave, cfg)
-    feats = linear_interpolate_time(feats, seq_len)
-    h = _layer_norm(params["feature_projection"]["layer_norm"], feats)
+    return linear_interpolate_time(feats, seq_len)
+
+
+def encode(params, extract_features_out: jnp.ndarray, cfg: Wav2Vec2Config,
+           collect_hidden: bool = True) -> EncoderOutput:
+    """Split stage 2: feature projection + transformer encoder over
+    already-extracted features (reference: wav2vec2.py:121-181)."""
+    h = _layer_norm(params["feature_projection"]["layer_norm"],
+                    extract_features_out)
     h = _linear(params["feature_projection"]["projection"], h)
     return encoder(params["encoder"], h, cfg, collect_hidden=collect_hidden)
 

@@ -67,8 +67,8 @@ _PATCH_DNUMS = lax.GatherDimensionNumbers(
 #     pallas_call is a fusion barrier, erasing the win (measured 208 vs
 #     194 ms per 16-frame chunk).  Net: OFF by default until the
 #     transpose-free NHWC-native synthesis lands (round-2 roadmap).
-#   - pallas/warp_kernel: windowed weighted-selection matmul — kept as
-#     groundwork, selection-construction bound, never dispatched.
+#   - experiments/pallas_warp_selection_matmul.py (off the import path):
+#     windowed weighted-selection matmul — measured slower, kept as analysis.
 _USE_PALLAS = False
 _SHIFT_MAX_H = 256      # levels above this use the XLA gather
 _SHIFT_MAX_DISP = 3     # displacement bound before the exact fixup runs

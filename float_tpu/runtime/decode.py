@@ -27,9 +27,10 @@ import jax.numpy as jnp
 from ..models.synthesis import synthesis
 
 
-@partial(jax.jit, static_argnames=("size", "out_u8", "channels_last"))
+@partial(jax.jit, static_argnames=("size", "out_u8", "channels_last",
+                                   "blur_kernel"))
 def _decode_chunk(params, wa_chunk, feats, size, out_u8=False,
-                  channels_last=True):
+                  channels_last=True, blur_kernel=(1, 3, 3, 1)):
     """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8.
 
     channels_last runs the NHWC synthesis path (feats must be NHWC): the
@@ -38,11 +39,13 @@ def _decode_chunk(params, wa_chunk, feats, size, out_u8=False,
     """
     if channels_last:
         from ..models.synthesis import synthesis_cl
-        img, _ = synthesis_cl(params, wa_chunk, feats, size)
+        img, _ = synthesis_cl(params, wa_chunk, feats, size,
+                              blur_kernel=blur_kernel)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         img = (img + 1.0) * 0.5
     else:
-        img, _ = synthesis(params, wa_chunk, feats, size)
+        img, _ = synthesis(params, wa_chunk, feats, size,
+                           blur_kernel=blur_kernel)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         img = (img + 1.0) * 0.5
         img = jnp.transpose(img, (0, 2, 3, 1))
@@ -60,6 +63,7 @@ def decode_latents(
     size: int,
     decode_batch: int = 8,
     compute_dtype=jnp.float32,
+    blur_kernel=(1, 3, 3, 1),
     frame_callback=None,       # optional fn(chunk_idx, n_chunks) progress hook
 ) -> jnp.ndarray:
     """Decode T frames -> (T, size, size, 3) float32 in [0, 1].
@@ -84,7 +88,7 @@ def decode_latents(
     chunks = []
     for ci in range(n_chunks):
         chunks.append(_decode_chunk(params_c, wa[ci * fb:(ci + 1) * fb],
-                                    feats_c, size))
+                                    feats_c, size, blur_kernel=blur_kernel))
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
     frames = jnp.concatenate(chunks, axis=0)
@@ -94,7 +98,8 @@ def decode_latents(
 def decode_latents_to_host(
     synthesis_params, s_r, feats, r_d, *,
     size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
-    uint8_transfer: bool = True, frame_callback=None,
+    blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
+    frame_callback=None,
 ):
     """Decode + stream frames to HOST memory chunk by chunk.
 
@@ -121,7 +126,8 @@ def decode_latents_to_host(
     pending = []
     for ci in range(n_chunks):
         dev = _decode_chunk(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
-                            size, out_u8=uint8_transfer)
+                            size, out_u8=uint8_transfer,
+                            blur_kernel=blur_kernel)
         pending.append((ci, dev))
         # keep one chunk in flight: materialize the previous one while the
         # current computes

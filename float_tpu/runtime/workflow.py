@@ -28,10 +28,8 @@ logger = logging.getLogger("float_tpu.workflow")
 def _load_image(spec) -> np.ndarray:
     if isinstance(spec, np.ndarray):
         return spec
-    import cv2
-    img = cv2.imread(spec, cv2.IMREAD_UNCHANGED)
-    code = cv2.COLOR_BGRA2RGBA if img.shape[-1] == 4 else cv2.COLOR_BGR2RGB
-    return cv2.cvtColor(img, code).astype(np.float32) / 255.0
+    from ..cli import load_image_file
+    return load_image_file(spec)
 
 
 def _load_audio(spec) -> np.ndarray:
@@ -59,8 +57,10 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
     mode = wf.get("mode", "default")
     if pipe is None:
         pipe = N.load_float_models(
-            wf.get("checkpoint", "models/float/FLOAT.safetensors"),
-            advanced_float_options=wf.get("advanced_options"))
+            wf.get("checkpoint", "FLOAT.safetensors"),
+            advanced_float_options=wf.get("advanced_options"),
+            models_root=wf.get("models_root", "models"),
+            allow_synthetic=wf.get("allow_synthetic", False))
     img = _load_image(wf["image"])
     wave = _load_audio(wf["audio"])
     fps = wf.get("fps", 25.0)
