@@ -48,9 +48,13 @@ def main():
     waves = [jnp.asarray(rng.standard_normal((1, n_samples)).astype(np.float32) * 0.1)
              for _ in range(3)]
 
-    # warm-up / compile
-    frames = pipe.generate(img, waves[0], emotion="none", seed=15)
-    np.asarray(frames[-1])                   # force full materialization
+    # warm-up / compile: twice, because the first clip's flow probe can
+    # ratchet the warp kernels' static D (runtime/decode.py) — the second
+    # pass compiles the steady-state programs
+    for w in range(2):
+        frames = pipe.generate(img, waves[w % len(waves)], emotion="none",
+                               seed=15 + w)
+        np.asarray(frames[-1])               # force full materialization
 
     # timed: vary audio + seed each rep so nothing dedups
     reps = 3

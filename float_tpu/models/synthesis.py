@@ -211,7 +211,8 @@ def _to_rgb_cl(x, p, skip=None, blur_kernel=(1, 3, 3, 1)):
 
 
 def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
-                blur_kernel=(1, 3, 3, 1)):
+                blur_kernel=(1, 3, 3, 1), max_disp=2):
+    # max_disp: static tap bound D of the shift-warp kernels at this level
     from ..ops.nhwc import modulated_conv2d_cl, upsample2x_cl, warp_cl
     out = modulated_conv2d_cl(
         x, style,
@@ -234,7 +235,7 @@ def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
     feat_b = jnp.broadcast_to(feat, (x.shape[0],) + feat.shape[1:]) \
         if feat.shape[0] != x.shape[0] else feat
     feat_warp = warp_cl(feat_b.astype(x.dtype), flow.astype(jnp.float32),
-                        use_kernel=use_warp_kernel,
+                        use_kernel=use_warp_kernel, max_disp=max_disp,
                         shared_feat=None if shared is None
                         else shared.astype(x.dtype))
     feat_warp = feat_warp * mask.astype(x.dtype)
@@ -242,19 +243,28 @@ def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
     return feat_warp, merged, out, flow
 
 
+def n_kernel_levels(size: int) -> int:
+    """How many synthesis levels (>=128²) route to the shift-warp kernels."""
+    return max(0, int(math.log2(size)) - 6)
+
+
 def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
-                 blur_kernel=(1, 3, 3, 1)):
+                 blur_kernel=(1, 3, 3, 1), warp_disp=2,
+                 collect_flow_stats: bool = False):
     """Channels-last synthesis forward — identical math to `synthesis` but
     NHWC end-to-end so the warp kernels run without layout transposes.
 
     feats_cl: the 7 encoder skip maps in (Bf, H, W, C) layout (transpose
     them once per clip).  Returns (img (B, S, S, 3) in [-1, 1], flow64).
 
-    use_warp_kernel (default ON) uses the Pallas static-shift warp
-    kernels: plain at 128²/256², frame-lane-packed at 512² (the shared
-    feat packs 4 frames x 32 ch into the 128-lane dim).  Measured 30%
-    faster full-synthesis decode (136 vs 194 ms per 16-frame chunk);
-    exact for arbitrary flows via the cond-gather fixup.
+    use_warp_kernel (default ON) routes the >=128² warps to the
+    generalized frame-lane-packed static-shift kernel (shift_warp_v2);
+    ``warp_disp`` is the kernel's static tap bound D (exactness for flows
+    beyond it comes from the cond-gather fixup).  The decode loop probes
+    the clip's real flows via ``collect_flow_stats=True`` — which makes
+    the return value (img, flow64, stats) where stats is an int32 vector
+    of per-level needed displacements for the kernel levels (coarse
+    first) — and re-dispatches with the smallest safe D.
     """
     b = wa.shape[0]
     log_size = int(math.log2(size))
@@ -272,25 +282,40 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
     skip = None
     skip_flow = None
     flow64 = None
+    flow_stats = []
     for lvl in range(n_levels):
         out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True,
                               blur_kernel=blur_kernel)
         out = _styled_conv_cl(out, wa, convs[str(2 * lvl + 1)], up=False,
                               blur_kernel=blur_kernel)
         res = out.shape[1]
+        # per-level static D: int broadcasts; a tuple is indexed by the
+        # kernel-level index (128² -> 0, 256² -> 1, ...)
+        if isinstance(warp_disp, tuple):
+            lvl_d = warp_disp[int(math.log2(res)) - 7] if res >= 128 else 2
+        else:
+            lvl_d = warp_disp
         if res == 8:
             out_warp, out, skip_flow, _ = _to_flow_cl(
                 out, wa, feats_cl[lvl], to_flows[str(lvl)],
-                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel)
+                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel,
+                max_disp=lvl_d)
             skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)],
                               blur_kernel=blur_kernel)
         else:
             out_warp, out, skip_flow, fl = _to_flow_cl(
                 out, wa, feats_cl[lvl], to_flows[str(lvl)], skip_flow,
-                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel)
+                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel,
+                max_disp=lvl_d)
             if res == 64:
                 flow64 = fl
+            if collect_flow_stats and res >= 128:
+                from ..ops.nhwc import flow_needed_disp
+                flow_stats.append(flow_needed_disp(fl, res, res))
             skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip,
                               blur_kernel=blur_kernel)
 
+    if collect_flow_stats:
+        return skip, flow64, (jnp.stack(flow_stats) if flow_stats
+                              else jnp.zeros((0,), jnp.int32))
     return skip, flow64

@@ -150,23 +150,26 @@ def grid_sample_bilinear_nhwc(feat, grid):
     return out.reshape(b, ho, wo, c)
 
 
-def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 3,
-            kernel_max_h: int = 256, shared_feat=None):
-    """NHWC warp dispatcher: Pallas static-shift kernel (same-size bf16
-    warps, 128²..kernel_max_h²) with exact cond-gather fixup, else the
-    NHWC gather.  At 512² the level has only 32 channels so the plain
-    kernel's lane padding (4x) loses to the gather — but when the feature
-    map is SHARED across frames (``shared_feat`` (1, H, W, C<=32), the
-    decode case) the frame-lane-packed kernel applies there instead."""
+def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
+            shared_feat=None):
+    """NHWC warp dispatcher.
+
+    The decode case (``shared_feat`` (1, H, W, C): one encoder map shared
+    by all frames) routes to the generalized frame-lane-packed static-shift
+    kernel (shift_warp_v2: GROUPS = 128//C frames packed into the lanes,
+    window DMA + pre-rotated column slices cached across frames).  Per-frame
+    feats use the plain shift kernel at 128²..256²; everything else takes
+    the XLA patch gather.  All kernel paths are exact for arbitrary flows
+    via the cond-gather fixup beyond ``max_disp``."""
     b, h, w, c = feat.shape
     same_size = grid.shape[1] == h and grid.shape[2] == w
     if (use_kernel and same_size and feat.dtype == jnp.bfloat16
-            and shared_feat is not None and h > kernel_max_h
-            and c <= 32 and b % 4 == 0 and h % 8 == 0 and w % 128 == 0):
-        from .pallas.shift_warp_packed import warp_shared_feat_packed
-        return warp_shared_feat_packed(shared_feat, grid, max_disp=max_disp)
+            and shared_feat is not None and h >= 128
+            and c <= 128 and h % 8 == 0 and w % 128 == 0):
+        from .pallas.shift_warp_v2 import warp_shared_feat_v2
+        return warp_shared_feat_v2(shared_feat, grid, max_disp=max_disp)
     if (use_kernel and same_size and feat.dtype == jnp.bfloat16
-            and 128 <= h <= kernel_max_h and w >= 128
+            and 128 <= h <= 256 and w >= 128
             and h % 16 == 0 and w % 128 == 0):
         from .pallas.shift_warp_kernel import (
             MARGIN, _shift_warp_nhwc, _overflow_mask)
@@ -185,3 +188,22 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 3,
 
         return jax.lax.cond(jnp.any(overflow), fix, lambda o: o, out)
     return grid_sample_bilinear_nhwc(feat, grid)
+
+
+def flow_needed_disp(grid, h, w):
+    """Max per-axis integer displacement this flow field needs from the
+    static-shift kernels (the adaptive-D probe).  Counts only taps that
+    touch the image (out-of-image taps contribute zero, like the kernels'
+    overflow mask)."""
+    gy = grid[..., 1].astype(jnp.float32)
+    gx = grid[..., 0].astype(jnp.float32)
+    fy = ((gy + 1.0) * h - 1.0) * 0.5
+    fx = ((gx + 1.0) * w - 1.0) * 0.5
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    cols = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    relevant = ((y0 + 1 >= 0) & (y0 < h)) & ((x0 + 1 >= 0) & (x0 < w))
+    dy = jnp.where(relevant, jnp.abs(y0 - rows), 0.0)
+    dx = jnp.where(relevant, jnp.abs(x0 - cols), 0.0)
+    return jnp.maximum(jnp.max(dy), jnp.max(dx)).astype(jnp.int32)

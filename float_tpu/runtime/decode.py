@@ -28,19 +28,32 @@ from ..models.synthesis import synthesis
 
 
 @partial(jax.jit, static_argnames=("size", "out_u8", "channels_last",
-                                   "blur_kernel"))
+                                   "blur_kernel", "warp_disp", "with_stats"))
 def _decode_chunk(params, wa_chunk, feats, size, out_u8=False,
-                  channels_last=True, blur_kernel=(1, 3, 3, 1)):
+                  channels_last=True, blur_kernel=(1, 3, 3, 1),
+                  warp_disp=2, with_stats=False):
     """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8.
 
     channels_last runs the NHWC synthesis path (feats must be NHWC): the
     warp kernels get their native layout with no transposes, and the
     output is already HWC.  Set False for the NCHW reference path.
+
+    ``warp_disp`` is the static tap bound D of the shift-warp kernels;
+    ``with_stats=True`` additionally returns the per-level needed
+    displacements (the adaptive-D probe run on the first chunk).
     """
+    stats = None
     if channels_last:
         from ..models.synthesis import synthesis_cl
-        img, _ = synthesis_cl(params, wa_chunk, feats, size,
-                              blur_kernel=blur_kernel)
+        if with_stats:
+            img, _, stats = synthesis_cl(params, wa_chunk, feats, size,
+                                         blur_kernel=blur_kernel,
+                                         warp_disp=warp_disp,
+                                         collect_flow_stats=True)
+        else:
+            img, _ = synthesis_cl(params, wa_chunk, feats, size,
+                                  blur_kernel=blur_kernel,
+                                  warp_disp=warp_disp)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         img = (img + 1.0) * 0.5
     else:
@@ -51,7 +64,47 @@ def _decode_chunk(params, wa_chunk, feats, size, out_u8=False,
         img = jnp.transpose(img, (0, 2, 3, 1))
     if out_u8:
         img = jnp.round(img * 255.0).astype(jnp.uint8)
-    return img
+    return (img, stats) if with_stats else img
+
+
+DEFAULT_WARP_DISP = 2
+MAX_WARP_DISP = 7        # the kernels' halo margin bound
+
+# Monotone per-process ratchet of per-level warp D, keyed by image size.
+# The first decode chunk of every clip doubles as a flow probe; the
+# ratchet only grows, so the static-D chunk programs recompile at most
+# (MAX-2)·levels times per process and are then stable.  Exactness never
+# depends on the ratchet — flows beyond D hit the cond-gather fixup.
+_DISP_RATCHET: dict = {}
+
+
+def _ratchet_get(size: int) -> tuple:
+    from ..models.synthesis import n_kernel_levels
+    n = n_kernel_levels(size)
+    return _DISP_RATCHET.get(size, (DEFAULT_WARP_DISP,) * n)
+
+
+def _ratchet_apply(size: int, stats) -> tuple:
+    """Fold probe stats into the ratchet (D floor 2: below it the
+    align_corners=False half-pixel offset leaves no slack and the fixup
+    fires; cap MAX_WARP_DISP = kernel halo margin)."""
+    import numpy as np
+    s = np.asarray(stats)
+    cur = _ratchet_get(size)
+    if s.size != len(cur):
+        return cur
+    new = tuple(int(min(max(int(v), c), MAX_WARP_DISP))
+                for v, c in zip(s, cur))
+    if new != cur:
+        _DISP_RATCHET[size] = new
+    return new
+
+
+def _stats_ready(stats) -> bool:
+    try:
+        return bool(stats.is_ready())
+    except AttributeError:
+        return True
 
 
 def decode_latents(
@@ -86,11 +139,29 @@ def decode_latents(
     params_c = jax.tree.map(lambda a: a.astype(dtype), synthesis_params)
 
     chunks = []
+    disp = _ratchet_get(size)
+    stats = None
     for ci in range(n_chunks):
-        chunks.append(_decode_chunk(params_c, wa[ci * fb:(ci + 1) * fb],
-                                    feats_c, size, blur_kernel=blur_kernel))
+        wa_c = wa[ci * fb:(ci + 1) * fb]
+        if ci == 0 and n_chunks > 1:
+            # adaptive-D probe: chunk 0 also reports the flows' real
+            # displacement bound.  Applied WITHOUT blocking — chunks keep
+            # dispatching on the current ratchet (still exact via the
+            # fixup) and pick up the tuned D once the stats land.
+            chunk, stats = _decode_chunk(params_c, wa_c, feats_c, size,
+                                         blur_kernel=blur_kernel,
+                                         warp_disp=disp, with_stats=True)
+        else:
+            if stats is not None and _stats_ready(stats):
+                disp = _ratchet_apply(size, stats)
+                stats = None
+            chunk = _decode_chunk(params_c, wa_c, feats_c, size,
+                                  blur_kernel=blur_kernel, warp_disp=disp)
+        chunks.append(chunk)
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
+    if stats is not None:
+        _ratchet_apply(size, stats)   # for the next clip
     frames = jnp.concatenate(chunks, axis=0)
     return frames[:t_frames]
 
@@ -124,10 +195,22 @@ def decode_latents_to_host(
 
     out = np.empty((t_frames, size, size, 3), np.float32)
     pending = []
+    disp = _ratchet_get(size)
+    stats = None
     for ci in range(n_chunks):
-        dev = _decode_chunk(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
-                            size, out_u8=uint8_transfer,
-                            blur_kernel=blur_kernel)
+        wa_c = wa[ci * fb:(ci + 1) * fb]
+        if ci == 0 and n_chunks > 1:
+            dev, stats = _decode_chunk(params_c, wa_c, feats_c, size,
+                                       out_u8=uint8_transfer,
+                                       blur_kernel=blur_kernel,
+                                       warp_disp=disp, with_stats=True)
+        else:
+            if stats is not None and _stats_ready(stats):
+                disp = _ratchet_apply(size, stats)
+                stats = None
+            dev = _decode_chunk(params_c, wa_c, feats_c, size,
+                                out_u8=uint8_transfer,
+                                blur_kernel=blur_kernel, warp_disp=disp)
         pending.append((ci, dev))
         # keep one chunk in flight: materialize the previous one while the
         # current computes
@@ -137,6 +220,8 @@ def decode_latents_to_host(
             frame_callback(ci, n_chunks)
     for item in pending:
         _drain(item, out, fb, t_frames, uint8_transfer)
+    if stats is not None:
+        _ratchet_apply(size, stats)   # for the next clip
     return out
 
 

@@ -1,0 +1,72 @@
+"""shift_warp_v2 wrapper logic + adaptive-D machinery (CPU-checkable).
+
+The kernel itself targets TPU (verified on-chip); these tests cover the
+group-picking, the flow-displacement probe, and the decode ratchet.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from float_tpu.ops.nhwc import flow_needed_disp
+from float_tpu.ops.pallas.shift_warp_v2 import pick_groups
+from float_tpu.ops.warp import identity_grid
+from float_tpu.models.synthesis import n_kernel_levels
+from float_tpu.runtime import decode as D
+
+
+def test_pick_groups():
+    assert pick_groups(32, 16) == 4
+    assert pick_groups(64, 16) == 2
+    assert pick_groups(128, 16) == 1
+    assert pick_groups(32, 6) == 2      # b not divisible by 4
+    assert pick_groups(32, 3) == 1
+
+
+def test_n_kernel_levels():
+    assert n_kernel_levels(512) == 3    # 128², 256², 512²
+    assert n_kernel_levels(256) == 2
+    assert n_kernel_levels(128) == 1
+    assert n_kernel_levels(64) == 0
+
+
+def test_flow_needed_disp():
+    h = w = 64
+    grid = identity_grid(h)[None]
+    # identity flow: align_corners=False intrinsic offset needs D=1
+    assert int(flow_needed_disp(grid, h, w)) <= 1
+    # +3.3 px displacement everywhere -> needs 3..4
+    need = int(flow_needed_disp(grid + 3.3 * 2.0 / h, h, w))
+    assert 3 <= need <= 4
+    # huge flow lands outside the image -> irrelevant (zero padding)
+    assert int(flow_needed_disp(grid + 3.0, h, w)) == 0
+
+
+def test_disp_ratchet_monotone():
+    D._DISP_RATCHET.pop(512, None)
+    assert D._ratchet_get(512) == (2, 2, 2)
+    got = D._ratchet_apply(512, jnp.asarray([1, 2, 3]))
+    assert got == (2, 2, 3)             # floor 2, bumps only upward
+    got = D._ratchet_apply(512, jnp.asarray([3, 1, 1]))
+    assert got == (3, 2, 3)             # never decreases
+    got = D._ratchet_apply(512, jnp.asarray([99, 1, 1]))
+    assert got == (D.MAX_WARP_DISP, 2, 3)   # capped at the halo bound
+    # mismatched probe (different level count) is ignored
+    assert D._ratchet_apply(512, jnp.asarray([5])) == (D.MAX_WARP_DISP, 2, 3)
+    D._DISP_RATCHET.pop(512, None)
+
+
+def test_decode_stats_empty_for_small_sizes(rng):
+    """Sizes below 128² have no kernel levels: the probe returns an empty
+    stats vector and the ratchet stays at its default."""
+    from float_tpu.models import init as minit
+    from float_tpu.models.synthesis import synthesis_cl
+    params = minit.init_synthesis(64, 64, 20, 0)
+    feats = [jnp.asarray(rng.standard_normal(s).astype(np.float32)) for s in
+             [(1, 512, 8, 8), (1, 512, 16, 16), (1, 512, 32, 32),
+              (1, 256, 64, 64)]]
+    feats_c = [jnp.transpose(f, (0, 2, 3, 1)) for f in feats]
+    wa = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    img, _, stats = synthesis_cl(params, wa, feats_c, 64,
+                                 use_warp_kernel=False,
+                                 collect_flow_stats=True)
+    assert stats.shape == (0,)
+    assert img.shape == (2, 64, 64, 3)
