@@ -36,7 +36,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TC = 128
-MARGIN = 8                     # supports D <= 7
+MAX_DISP = 7                   # ratchet cap (margin = d + 1 <= 8)
+
+
+def _margin(d: int) -> int:
+    """Halo width: the taps span [-d, d+1] so d+1 suffices; keeping it
+    minimal shrinks the window DMA and the cached rotated slices."""
+    return d + 1
+
+
+def _ceil8(x: int) -> int:
+    return (x + 7) // 8 * 8
 
 
 def _hat_fields_at(fs, base_abs, size, off, groups):
@@ -48,20 +58,25 @@ def _hat_fields_at(fs, base_abs, size, off, groups):
 
 
 def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
-            *, h, w, d, groups, tr, out_dtype):
+            *, h, w, d, groups, tr, nb, out_dtype):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    bg = pl.program_id(2)
+    bb = pl.program_id(2)
 
-    wr = tr + 2 * MARGIN
-    wc = TC + 2 * MARGIN
+    m = _margin(d)
+    # HBM DMA slices want 8-multiple extents: round the window up (the
+    # wrapper pads the feat accordingly; extra rows/cols are never read)
+    wr = _ceil8(tr + 2 * m)
+    wc = _ceil8(TC + 2 * m)
     n_taps = 2 * d + 2
 
-    # The window is SHARED by all frame-groups of this tile: DMA once and
-    # pre-rotate the n_taps column slices once (the misaligned-sublane
-    # slice is the expensive op — cached in scratch, it is paid once per
-    # TILE instead of once per (tap, frame-group)).
-    @pl.when(bg == 0)
+    # ONE invocation per tile handles a BLOCK of nb frame-groups:
+    # per-invocation overhead (prologue, block in/out orchestration)
+    # measured ~7x the actual FMA work when the grid carried every frame
+    # group.  The window DMA and the pre-rotated column slices (the
+    # expensive misaligned-sublane ops) are shared by every frame-group
+    # of the tile and cached across block steps in scratch.
+    @pl.when(bb == 0)
     def _copy():
         rs = pl.multiple_of(i * tr, 8)
         cs = pl.multiple_of(j * TC, 8)
@@ -70,7 +85,7 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
         dma.start()
         dma.wait()
         for dx_i, dx in enumerate(range(-d, d + 2)):
-            win_rot[dx_i] = win[:, MARGIN + dx: MARGIN + dx + TC, :]
+            win_rot[dx_i] = win[:, m + dx: m + dx + TC, :]
 
     r_abs = (i * tr + jax.lax.broadcasted_iota(jnp.int32, (tr, TC), 0)
              ).astype(jnp.float32)
@@ -82,14 +97,6 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
     gmasks = [(lane // cg == g).astype(jnp.float32) for g in range(groups)]
 
-    # per-group pixel-center coordinate fields
-    fys, fxs = [], []
-    for g in range(groups):
-        gy = gy_ref[0, g].astype(jnp.float32)
-        gx = gx_ref[0, g].astype(jnp.float32)
-        fys.append(((gy + 1.0) * h - 1.0) * 0.5)
-        fxs.append(((gx + 1.0) * w - 1.0) * 0.5)
-
     def lane_expand(smalls):
         """Σ_g smalls[g] ⊗ mask_g -> (tr, TC, 128) f32."""
         if groups == 1:
@@ -99,31 +106,72 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
             acc = acc + smalls[g][:, :, None] * gmasks[g]
         return acc
 
-    # hoist the lane-expanded horizontal fields (n_taps f32 temps); the
-    # vertical field is rebuilt per fori step (bounded liveness)
-    wx_fields = [
-        lane_expand(_hat_fields_at(fxs, c_abs, w, dx, groups))
-        for dx in range(-d, d + 2)
-    ]
+    def frame_group(bg, _):
+        # per-group pixel-center coordinate fields
+        fys, fxs = [], []
+        for g in range(groups):
+            gy = gy_ref[bg, g].astype(jnp.float32)
+            gx = gx_ref[bg, g].astype(jnp.float32)
+            fys.append(((gy + 1.0) * h - 1.0) * 0.5)
+            fxs.append(((gx + 1.0) * w - 1.0) * 0.5)
 
-    def body(t, acc):
-        dyf = (t - d).astype(jnp.float32)
-        tap_y = r_abs + dyf
-        valid_y = (tap_y >= 0) & (tap_y < h)
-        wy_l = lane_expand([
-            jnp.where(valid_y,
-                      jnp.maximum(0.0, 1.0 - jnp.abs(fys[g] - tap_y)), 0.0)
-            for g in range(groups)])
-        # rows of all n_taps pre-rotated windows at vertical tap t
-        rows = win_rot[:, pl.ds(MARGIN - d + t, tr)]  # (n_taps, tr, TC, 128)
-        for dx_i in range(n_taps):
-            acc = acc + (wy_l * wx_fields[dx_i]) * \
-                rows[dx_i].astype(jnp.float32)
-        return acc
+        def taps(dl: int):
+            """Exact bilinear tap sum for displacements up to ``dl``."""
+            nt = 2 * dl + 2
+            # hoisted lane-expanded horizontal fields (nt f32 temps); the
+            # vertical field is rebuilt per fori step (bounded liveness)
+            wxf = [
+                lane_expand(_hat_fields_at(fxs, c_abs, w, dx, groups))
+                for dx in range(-dl, dl + 2)
+            ]
 
-    acc = jax.lax.fori_loop(0, n_taps, body,
-                            jnp.zeros((tr, TC, 128), jnp.float32))
-    out_ref[0] = acc.astype(out_dtype)
+            def body(t, acc):
+                dyf = (t - dl).astype(jnp.float32)
+                tap_y = r_abs + dyf
+                valid_y = (tap_y >= 0) & (tap_y < h)
+                wy_l = lane_expand([
+                    jnp.where(valid_y,
+                              jnp.maximum(0.0,
+                                          1.0 - jnp.abs(fys[g] - tap_y)),
+                              0.0)
+                    for g in range(groups)])
+                # factored bilinear sum: S(dy) = Σ_dx wx·f, acc += wy·S —
+                # nt FMAs + 1 instead of 2 ops per tap.  (A fully-unrolled
+                # dy loop blows the 16 MB VMEM stack.)
+                row = pl.ds(m - dl + t, tr)
+                s = wxf[0] * win_rot[d - dl, row].astype(jnp.float32)
+                for k in range(1, nt):
+                    # free slice: leading dims of the rotated windows
+                    sl = win_rot[d - dl + k, row]
+                    s = s + wxf[k] * sl.astype(jnp.float32)
+                return acc + wy_l * s
+
+            return jax.lax.fori_loop(0, nt, body,
+                                     jnp.zeros((tr, TC, 128), jnp.float32))
+
+        if d <= 1:
+            acc = taps(d)
+        else:
+            # flows are spatially smooth: most tiles need D <= 1 even when
+            # the clip's ratchet D is larger.  Branch per (tile, frame
+            # group) on the locally needed displacement — the fast path
+            # runs 4x4 taps instead of (2D+2)².
+            d_need = jnp.zeros((), jnp.float32)
+            for g in range(groups):
+                y0 = jnp.floor(fys[g])
+                x0 = jnp.floor(fxs[g])
+                rel = ((y0 + 1 >= 0) & (y0 < h)
+                       & (x0 + 1 >= 0) & (x0 < w)).astype(jnp.float32)
+                dy = jnp.abs(y0 - r_abs) * rel
+                dx = jnp.abs(x0 - c_abs) * rel
+                d_need = jnp.maximum(d_need,
+                                     jnp.max(jnp.maximum(dy, dx)))
+            acc = jax.lax.cond(d_need <= 1.0, lambda: taps(1),
+                               lambda: taps(d))
+        out_ref[pl.ds(bg, 1)] = acc.astype(out_dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, nb, frame_group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("d", "groups", "tr"))
@@ -131,24 +179,29 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int):
     """feat_tiled (1, H+2M, W+2M, 128) lane-tiled shared feat;
     gyg/gxg (B//groups, groups, H, W) -> (B//groups, H, W, 128)."""
     nbg = gyg.shape[0]
-    hp, wp = feat_tiled.shape[1], feat_tiled.shape[2]
-    h, w = hp - 2 * MARGIN, wp - 2 * MARGIN
+    m = _margin(d)
+    h, w = gyg.shape[2], gyg.shape[3]
     out_dtype = feat_tiled.dtype
-    wr, wc = tr + 2 * MARGIN, TC + 2 * MARGIN
+    wr, wc = _ceil8(tr + 2 * m), _ceil8(TC + 2 * m)
+
+    # frame-group block size: largest divisor of nbg <= 4 (VMEM bounds
+    # the per-invocation out block; the cached window amortizes the rest)
+    nb = max(n for n in (4, 3, 2, 1) if nbg % n == 0)
 
     kern = functools.partial(_kernel, h=h, w=w, d=d, groups=groups, tr=tr,
-                             out_dtype=out_dtype)
+                             nb=nb, out_dtype=out_dtype)
     return pl.pallas_call(
         kern,
-        grid=(h // tr, w // TC, nbg),
+        grid=(h // tr, w // TC, nbg // nb),
         in_specs=[
-            pl.BlockSpec((1, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
+            pl.BlockSpec((nb, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
+            pl.BlockSpec((nb, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, tr, TC, 128), lambda i, j, b: (b, i, j, 0)),
+        out_specs=pl.BlockSpec((nb, tr, TC, 128),
+                               lambda i, j, b: (b, i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((nbg, h, w, 128), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((wr, wc, 128), feat_tiled.dtype),
@@ -161,8 +214,8 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            # frame-groups innermost and in-order so the cached window in
-            # scratch stays valid for bg > 0
+            # block steps innermost and in-order: the cached window in
+            # scratch must stay valid for bb > 0
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(gyg, gxg, feat_tiled)
@@ -184,7 +237,8 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     from ..nhwc import grid_sample_bilinear_nhwc
     from .shift_warp_kernel import _overflow_mask
 
-    assert max_disp <= MARGIN - 1, (max_disp, MARGIN)
+    assert max_disp <= MAX_DISP, (max_disp, MAX_DISP)
+    m = _margin(max_disp)
     _, h, w, c = feat1_nhwc.shape
     b = grid.shape[0]
     groups = pick_groups(c, b)
@@ -195,8 +249,11 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     fpad = feat1_nhwc if c == cg else jnp.pad(
         feat1_nhwc, ((0, 0), (0, 0), (0, 0), (0, cg - c)))
     ftile = fpad if groups == 1 else jnp.tile(fpad, (1, 1, 1, groups))
-    ftile = jnp.pad(ftile, ((0, 0), (MARGIN, MARGIN), (MARGIN, MARGIN),
-                            (0, 0)))
+    # bottom/right padded further so the 8-rounded DMA window stays in
+    # bounds at the last tile (see _kernel: wr/wc are _ceil8'd)
+    pad_r = _ceil8(tr + 2 * m) - tr - m
+    pad_c = _ceil8(TC + 2 * m) - TC - m
+    ftile = jnp.pad(ftile, ((0, 0), (m, pad_r), (m, pad_c), (0, 0)))
     gyg = gy.reshape(b // groups, groups, h, w)
     gxg = gx.reshape(b // groups, groups, h, w)
 
@@ -207,8 +264,14 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     overflow = _overflow_mask(h, w, gy, gx, max_disp)
 
     def fix(o):
-        feat_b = jnp.broadcast_to(feat1_nhwc, (b,) + feat1_nhwc.shape[1:])
-        exact = grid_sample_bilinear_nhwc(feat_b, grid)
-        return jnp.where(overflow[..., None], exact, o)
+        # sequential per-frame gather: the patch tensor of a batched
+        # gather ((B, H·W, 2, 2, C)) is allocated even when this branch
+        # is not taken, which blows HBM at large frame batches.  The
+        # fixup is the rare path — lax.map keeps its footprint at 1/B.
+        def one(args):
+            oi, gi, ovi = args
+            exact = grid_sample_bilinear_nhwc(feat1_nhwc, gi[None])[0]
+            return jnp.where(ovi[..., None], exact, oi)
+        return jax.lax.map(one, (o, grid, overflow))
 
     return jax.lax.cond(jnp.any(overflow), fix, lambda o: o, out)
