@@ -58,9 +58,18 @@ def upfirdn2d_cl(x, kernel, up=1, down=1, pad=(0, 0)):
 
 
 def upsample2x_cl(x, blur_kernel=(1, 3, 3, 1)):
+    """2x upsample.  Low-channel tensors (the 3-channel RGB / raw-flow
+    skip chains) go through MXU band matmuls (upfirdn.upfirdn2d_mxu) —
+    the depthwise-conv form runs at C/128 lane occupancy there; wide
+    tensors keep the depthwise conv, which XLA fuses well in-graph."""
     factor = 2
+    p = len(blur_kernel) - factor
+    if x.shape[-1] < 16:
+        from .upfirdn import upfirdn2d_mxu
+        return upfirdn2d_mxu(x, blur_kernel, up=factor, down=1,
+                             pad=((p + 1) // 2 + factor - 1, p // 2),
+                             kernel_gain=factor ** 2)
     kernel = make_blur_kernel(blur_kernel, upsample_factor=factor)
-    p = kernel.shape[0] - factor
     return upfirdn2d_cl(x, kernel, up=factor, down=1,
                         pad=((p + 1) // 2 + factor - 1, p // 2))
 

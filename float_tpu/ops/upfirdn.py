@@ -86,6 +86,79 @@ def upfirdn2d(
     return out
 
 
+# ---------------------------------------------------------------------------
+# MXU formulation: upfirdn as two banded-matrix einsums
+#
+# The blur kernels are separable (outer(k, k)), so 2-D upfirdn factors into
+# two 1-D upfirdns, and a 1-D upfirdn is a banded linear map — a matmul.
+# The depthwise-conv lowering runs on the VPU at C-lane occupancy (C=3 RGB
+# skips waste 125/128 lanes; even C=32 blurs measured 9 ms per 16-frame
+# chunk level); the band matmul rides the otherwise-idle MXU instead
+# (measured ~6-40x faster depending on C).  Exact same semantics: the
+# matrix is built by running the reference 1-D upfirdn on an identity.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _upfirdn1d_matrix_np(n: int, k: tuple, up: int, down: int,
+                         pad0: int, pad1: int) -> np.ndarray:
+    """(out_len, n) matrix M with (M @ x) == upfirdn1d(x, k, up, down, pad)."""
+    k = np.asarray(k, dtype=np.float64)
+    eye = np.eye(n, dtype=np.float64)
+    # zero-stuff AFTER each sample (reference semantics): length n*up
+    y = np.zeros((n * up, n))
+    y[::up] = eye
+    # pad (negative pads crop)
+    if pad0 >= 0:
+        y = np.concatenate([np.zeros((pad0, n)), y], axis=0)
+    else:
+        y = y[-pad0:]
+    if pad1 >= 0:
+        y = np.concatenate([y, np.zeros((pad1, n))], axis=0)
+    elif pad1 < 0:
+        y = y[:pad1]
+    # correlate with flip(k) == convolve with k
+    kh = len(k)
+    out_len = y.shape[0] - kh + 1
+    m = np.zeros((out_len, n))
+    kf = k[::-1]
+    for t in range(kh):
+        m += kf[t] * y[t:t + out_len]
+    return m[::down].astype(np.float32)
+
+
+def _axis_matrix(n: int, k1d: tuple, up: int, down: int,
+                 pad: tuple[int, int], axis_gain: float) -> np.ndarray:
+    """Per-axis 1-D factor of the separable 2-D blur kernel.
+
+    ``axis_gain`` is this axis's share of the 2-D kernel gain (the 2x
+    upsample kernels carry a total gain of factor², i.e. factor per axis).
+    """
+    k = np.asarray(k1d, dtype=np.float64)
+    k = k / k.sum() * axis_gain
+    return _upfirdn1d_matrix_np(n, tuple(float(v) for v in k), up, down,
+                                pad[0], pad[1])
+
+
+def upfirdn2d_mxu(x_nhwc: jnp.ndarray, k1d, up: int = 1, down: int = 1,
+                  pad: tuple[int, int] = (0, 0),
+                  kernel_gain: float = 1.0) -> jnp.ndarray:
+    """Separable upfirdn on an NHWC tensor via two band-matrix einsums.
+
+    Exact (matrix built from the op's own 1-D semantics); runs on the MXU.
+    ``kernel_gain`` is the total 2-D kernel gain (make_blur_kernel's
+    upsample_factor² — split evenly across the axes here).
+    """
+    h, w = x_nhwc.shape[1], x_nhwc.shape[2]
+    axis_gain = float(kernel_gain) ** 0.5
+    mw = jnp.asarray(_axis_matrix(w, tuple(k1d), up, down, pad, axis_gain))
+    mh = mw if h == w else jnp.asarray(
+        _axis_matrix(h, tuple(k1d), up, down, pad, axis_gain))
+    y = jnp.einsum("bhwc,vw->bhvc", x_nhwc, mw.astype(x_nhwc.dtype),
+                   preferred_element_type=jnp.float32).astype(x_nhwc.dtype)
+    return jnp.einsum("bhwc,uh->buwc", y, mh.astype(x_nhwc.dtype),
+                      preferred_element_type=jnp.float32).astype(x_nhwc.dtype)
+
+
 def blur(x: jnp.ndarray, kernel: jnp.ndarray, pad: tuple[int, int]) -> jnp.ndarray:
     """FIR blur, no resampling (reference Blur module, encoder.py:60-74)."""
     return upfirdn2d(x, kernel, up=1, down=1, pad=pad)

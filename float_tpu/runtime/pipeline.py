@@ -136,20 +136,34 @@ class FloatPipeline:
     def sample(self, r_s, wa, we, *, seed: Optional[int] = None,
                a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
                nfe=None, ode_method=None) -> jnp.ndarray:
-        """r_d (B, T, dim_w) via chunked CFG-ODE sampling."""
+        """r_d (B, T, dim_w) via chunked CFG-ODE sampling.
+
+        T is shape-bucketed before the jit boundary (sampling.bucket_
+        n_chunks): padded chunks trail the real ones so the result is
+        identical after the trim, and a new clip length reuses its
+        bucket's compiled program instead of recompiling the scan.
+        """
         from ..models.fmt import infer_cfg_mode
+        from .sampling import bucket_n_chunks, pad_to_chunks
         cfg = self.cfg
         key = jax.random.key(cfg.seed if seed is None else seed)
         a_s = cfg.a_cfg_scale if a_cfg_scale is None else a_cfg_scale
         e_s = cfg.e_cfg_scale if e_cfg_scale is None else e_cfg_scale
         r_sc = cfg.r_cfg_scale if r_cfg_scale is None else r_cfg_scale
         mode = infer_cfg_mode(a_s, r_sc, e_s, cfg.include_r_cfg)
-        return self._sample(
-            self.params["fmt"], r_s, wa, we, key,
+
+        t_true = wa.shape[1]
+        clip = cfg.num_frames_for_clip
+        nb = bucket_n_chunks(math.ceil(t_true / clip))
+        wa_b = pad_to_chunks(wa, clip, nb)
+        we_b = pad_to_chunks(we, clip, nb) if we.shape[1] > 1 else we
+        r_d = self._sample(
+            self.params["fmt"], r_s, wa_b, we_b, key,
             jnp.float32(a_s), jnp.float32(e_s), jnp.float32(r_sc),
             cfg.nfe if nfe is None else nfe,
             cfg.ode_method if ode_method is None else ode_method,
             mode)
+        return r_d[:, :t_true]
 
     def decode(self, s_r, feats, r_d) -> jnp.ndarray:
         """(1, dim_w) + feats + (1|T, T, dim_w) -> (T, S, S, 3) in [0, 1]."""

@@ -28,14 +28,31 @@ from ..models.fmt import fmt_forward_cfg
 from ..ops import odeint_fixed
 
 
-def pad_to_chunks(x: jnp.ndarray, frames_per_clip: int) -> jnp.ndarray:
+def pad_to_chunks(x: jnp.ndarray, frames_per_clip: int,
+                  n_chunks: Optional[int] = None) -> jnp.ndarray:
     """Right-pad (B, T, D) along T to a multiple of frames_per_clip with edge
-    replication (parity with F.pad mode='replicate')."""
+    replication (parity with F.pad mode='replicate').  ``n_chunks`` pads
+    to a larger chunk count (shape bucketing)."""
     t = x.shape[1]
-    target = math.ceil(t / frames_per_clip) * frames_per_clip
+    target = (n_chunks if n_chunks is not None
+              else math.ceil(t / frames_per_clip)) * frames_per_clip
     if target == t:
         return x
     return jnp.pad(x, ((0, 0), (0, target - t), (0, 0)), mode="edge")
+
+
+def bucket_n_chunks(n: int) -> int:
+    """Round a chunk count up to its compilation bucket: 1..5 exact, then
+    multiples of 5 (10 s of audio at the default 2 s chunks).
+
+    Padded chunks trail the real ones, so the autoregressive scan computes
+    the real chunks IDENTICALLY and the caller trims — bucketing is
+    exact, it only trades ≤20%% wasted sampling compute for program reuse
+    (a 60 s clip reuses the 60 s bucket instead of compiling per length).
+    """
+    if n <= 5:
+        return n
+    return math.ceil(n / 5) * 5
 
 
 def sample_motion_latents(
@@ -87,7 +104,13 @@ def sample_motion_latents(
     if noise is None:
         if key is None:
             raise ValueError("pass either key= or noise=")
-        noise = jax.random.normal(key, (n_chunks, b, clip, dim_w), dtype=wa.dtype)
+        # per-chunk fold_in: chunk c's noise depends only on (key, c), so
+        # the generated prefix is stable across clip lengths and shape
+        # buckets (the reference's sequential per-chunk torch.randn has
+        # the same property, FLOAT.py:215)
+        noise = jax.vmap(lambda c: jax.random.normal(
+            jax.random.fold_in(key, c), (b, clip, dim_w), dtype=wa.dtype)
+        )(jnp.arange(n_chunks))
     else:
         noise = jnp.asarray(noise, dtype=wa.dtype)
         if noise.shape != (n_chunks, b, clip, dim_w):
