@@ -27,11 +27,9 @@ import jax.numpy as jnp
 from ..models.synthesis import synthesis
 
 
-@partial(jax.jit, static_argnames=("size", "out_u8", "channels_last",
-                                   "blur_kernel", "warp_disp", "with_stats"))
-def _decode_chunk(params, wa_chunk, feats, size, out_u8=False,
-                  channels_last=True, blur_kernel=(1, 3, 3, 1),
-                  warp_disp=2, with_stats=False):
+def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
+                channels_last=True, blur_kernel=(1, 3, 3, 1),
+                warp_disp=2, with_stats=False):
     """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8.
 
     channels_last runs the NHWC synthesis path (feats must be NHWC): the
@@ -65,6 +63,55 @@ def _decode_chunk(params, wa_chunk, feats, size, out_u8=False,
     if out_u8:
         img = jnp.round(img * 255.0).astype(jnp.uint8)
     return (img, stats) if with_stats else img
+
+
+_decode_chunk = partial(jax.jit, static_argnames=(
+    "size", "out_u8", "channels_last", "blur_kernel", "warp_disp",
+    "with_stats"))(_chunk_core)
+
+
+def make_sharded_chunk_fn(mesh):
+    """Frame-parallel decode chunk over a device mesh.
+
+    shard_map (not GSPMD annotations) so the Pallas warp kernels run
+    per-device on their local frame shard — every frame is independent
+    (SURVEY §5.7), the only collective is the pmax on the probe stats.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    axes = tuple(mesh.axis_names)
+
+    @partial(jax.jit, static_argnames=("size", "out_u8", "channels_last",
+                                       "blur_kernel", "warp_disp",
+                                       "with_stats"))
+    def chunk_fn(params, wa_chunk, feats, size, out_u8=False,
+                 channels_last=True, blur_kernel=(1, 3, 3, 1),
+                 warp_disp=DEFAULT_WARP_DISP, with_stats=False):
+        assert wa_chunk.shape[0] % mesh.size == 0, (
+            f"decode_batch {wa_chunk.shape[0]} not divisible by mesh size "
+            f"{mesh.size}")
+
+        def body(p, w, f):
+            out = _chunk_core(p, w, f, size, out_u8=out_u8,
+                              channels_last=channels_last,
+                              blur_kernel=blur_kernel, warp_disp=warp_disp,
+                              with_stats=with_stats)
+            if with_stats:
+                img, stats = out
+                if stats.shape[0]:
+                    for ax in axes:
+                        stats = jax.lax.pmax(stats, ax)
+                return img, stats
+            return out
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(axes), P()),
+            out_specs=(P(axes), P()) if with_stats else P(axes),
+            check_rep=False,
+        )(params, wa_chunk, feats)
+
+    return chunk_fn
 
 
 DEFAULT_WARP_DISP = 2
@@ -117,6 +164,7 @@ def decode_latents(
     decode_batch: int = 8,
     compute_dtype=jnp.float32,
     blur_kernel=(1, 3, 3, 1),
+    chunk_fn=None,             # override: e.g. make_sharded_chunk_fn(mesh)
     frame_callback=None,       # optional fn(chunk_idx, n_chunks) progress hook
 ) -> jnp.ndarray:
     """Decode T frames -> (T, size, size, 3) float32 in [0, 1].
@@ -139,6 +187,7 @@ def decode_latents(
     params_c = jax.tree.map(lambda a: a.astype(dtype), synthesis_params)
 
     chunks = []
+    fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
     stats = None
     for ci in range(n_chunks):
@@ -148,15 +197,15 @@ def decode_latents(
             # displacement bound.  Applied WITHOUT blocking — chunks keep
             # dispatching on the current ratchet (still exact via the
             # fixup) and pick up the tuned D once the stats land.
-            chunk, stats = _decode_chunk(params_c, wa_c, feats_c, size,
-                                         blur_kernel=blur_kernel,
-                                         warp_disp=disp, with_stats=True)
+            chunk, stats = fn(params_c, wa_c, feats_c, size,
+                              blur_kernel=blur_kernel,
+                              warp_disp=disp, with_stats=True)
         else:
             if stats is not None and _stats_ready(stats):
                 disp = _ratchet_apply(size, stats)
                 stats = None
-            chunk = _decode_chunk(params_c, wa_c, feats_c, size,
-                                  blur_kernel=blur_kernel, warp_disp=disp)
+            chunk = fn(params_c, wa_c, feats_c, size,
+                       blur_kernel=blur_kernel, warp_disp=disp)
         chunks.append(chunk)
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
@@ -170,7 +219,7 @@ def decode_latents_to_host(
     synthesis_params, s_r, feats, r_d, *,
     size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
     blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
-    frame_callback=None,
+    chunk_fn=None, frame_callback=None,
 ):
     """Decode + stream frames to HOST memory chunk by chunk.
 
@@ -195,22 +244,23 @@ def decode_latents_to_host(
 
     out = np.empty((t_frames, size, size, 3), np.float32)
     pending = []
+    fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
     stats = None
     for ci in range(n_chunks):
         wa_c = wa[ci * fb:(ci + 1) * fb]
         if ci == 0 and n_chunks > 1:
-            dev, stats = _decode_chunk(params_c, wa_c, feats_c, size,
-                                       out_u8=uint8_transfer,
-                                       blur_kernel=blur_kernel,
-                                       warp_disp=disp, with_stats=True)
+            dev, stats = fn(params_c, wa_c, feats_c, size,
+                            out_u8=uint8_transfer,
+                            blur_kernel=blur_kernel,
+                            warp_disp=disp, with_stats=True)
         else:
             if stats is not None and _stats_ready(stats):
                 disp = _ratchet_apply(size, stats)
                 stats = None
-            dev = _decode_chunk(params_c, wa_c, feats_c, size,
-                                out_u8=uint8_transfer,
-                                blur_kernel=blur_kernel, warp_disp=disp)
+            dev = fn(params_c, wa_c, feats_c, size,
+                     out_u8=uint8_transfer,
+                     blur_kernel=blur_kernel, warp_disp=disp)
         pending.append((ci, dev))
         # keep one chunk in flight: materialize the previous one while the
         # current computes

@@ -54,13 +54,42 @@ class FloatPipeline:
 
     def __init__(self, params, cfg: FloatConfig = FloatConfig(),
                  w2v_cfg: Wav2Vec2Config = WAV2VEC2_BASE,
-                 ser_cfg: Wav2Vec2Config = WAV2VEC2_LARGE_SER):
+                 ser_cfg: Wav2Vec2Config = WAV2VEC2_LARGE_SER,
+                 mesh=None):
+        """``mesh`` (jax.sharding.Mesh with axes ("data", "model")) enables
+        the multi-chip mode: Megatron-style tensor parallelism for the
+        wav2vec2 towers and the FMT (GSPMD from NamedShardings on the
+        weights), and frame-parallel decode via a shard_map'd chunk
+        (every frame independent — SURVEY §5.7/§5.8).  decode_batch must
+        be divisible by the mesh size."""
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
-        self.params = params
         self.cfg = cfg.validate()
         self.w2v_cfg = w2v_cfg
         self.ser_cfg = ser_cfg
+        self.mesh = mesh
+        if mesh is not None:
+            if self.cfg.decode_batch % mesh.size:
+                raise ValueError(
+                    f"decode_batch {self.cfg.decode_batch} not divisible "
+                    f"by mesh size {mesh.size}")
+            from ..parallel.sharding import (
+                fmt_param_shardings, wav2vec2_param_shardings,
+                replicate_params, shard_pytree)
+            sh = {
+                "encoder": replicate_params(params["encoder"], mesh),
+                "synthesis": replicate_params(params["synthesis"], mesh),
+                "audio_encoder": {
+                    "wav2vec2": wav2vec2_param_shardings(
+                        params["audio_encoder"]["wav2vec2"], mesh),
+                    "audio_projection": replicate_params(
+                        params["audio_encoder"]["audio_projection"], mesh),
+                },
+                "emotion": wav2vec2_param_shardings(params["emotion"], mesh),
+                "fmt": fmt_param_shardings(params["fmt"], mesh),
+            }
+            params = shard_pytree(params, sh)
+        self.params = params
         self._build()
 
     def _build(self):
@@ -98,12 +127,20 @@ class FloatPipeline:
 
         self._sample = _sample
 
-        # decode_latents manages its own per-chunk jit (python chunk loop)
+        # decode_latents manages its own per-chunk jit (python chunk loop);
+        # under a mesh the chunk is shard_map'd over the frame batch
+        chunk_fn = None
+        if self.mesh is not None:
+            from .decode import make_sharded_chunk_fn
+            chunk_fn = make_sharded_chunk_fn(self.mesh)
+        self._chunk_fn = chunk_fn
+
         def _decode(syn_params, s_r, feats, r_d):
             return decode_latents(
                 syn_params, s_r, feats, r_d,
                 size=cfg.input_size, decode_batch=cfg.decode_batch,
-                compute_dtype=jnp.dtype(cfg.compute_dtype))
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+                chunk_fn=chunk_fn)
 
         self._decode = _decode
 
@@ -181,7 +218,7 @@ class FloatPipeline:
             self.params["synthesis"], s_r, feats, r_d,
             size=self.cfg.input_size, decode_batch=self.cfg.decode_batch,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-            uint8_transfer=uint8_transfer)
+            uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn)
 
     # ------------------------------------------------------------------
     # one-shot generation (the FloatProcess node equivalent)

@@ -102,3 +102,34 @@ def test_frame_parallel_decode_matches(rng):
         out = fn(dec_sh, wa_sh, feats_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_mesh_mode_matches_single_device(rng):
+    """FloatPipeline(mesh=...): the first-class multi-chip mode produces
+    IDENTICAL frames to the single-device pipeline (frame-parallel
+    shard_map decode + TP towers; VERDICT round-2 item 8)."""
+    from float_tpu.runtime.pipeline import (FloatPipeline,
+                                            build_synthetic_pipeline)
+    from test_pipeline import TINY, TINY_W2V, TINY_SER
+
+    ref_pipe = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+    cfg8 = TINY.replace(decode_batch=8)     # divisible by the 8-dev mesh
+    mesh = make_mesh(8)
+    mesh_pipe = FloatPipeline(ref_pipe.params, cfg8, TINY_W2V, TINY_SER,
+                              mesh=mesh)
+
+    img = jnp.asarray(rng.standard_normal(
+        (1, 3, TINY.input_size, TINY.input_size)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32) * 0.1)
+
+    ref_frames = ref_pipe.generate(img, wave, emotion="happy", seed=11)
+    with mesh:
+        got_frames = mesh_pipe.generate(img, wave, emotion="happy", seed=11)
+    assert got_frames.shape == ref_frames.shape
+    np.testing.assert_allclose(np.asarray(got_frames),
+                               np.asarray(ref_frames), rtol=2e-4, atol=2e-4)
+
+    # the mode really sharded: FMT qkv over "model", decode ran shard_map
+    qkv = mesh_pipe.params["fmt"]["blocks"]["0"]["attn"]["qkv"]["weight"]
+    assert qkv.sharding.spec == P("model", None)
+    assert mesh_pipe._chunk_fn is not None
