@@ -3,20 +3,21 @@
 reference activations (SURVEY §4 test-strategy item d).
 
 Usage:
-  1. Record activations from the reference implementation (on any machine
-     with the torch deps + checkpoint) into an .npz with keys:
-       image            (1, 3, S, S) float32 [-1, 1] model input
-       audio            (1, N) float32 normalized input_values
-       s_r              (1, 512)    appearance latent
-       r_s_lambda       (1, 20)     motion magnitudes
-       r_s              (1, 512)    identity reference latent
-       wa               (1, T, 512) audio latents
-       we               (1, 1|T, 7) emotion latent
-       noise            (n_chunks, 1, clip, 512) the x0 draws per chunk
-       r_d              (1, T, 512) sampled motion latents
-       frames           (T, S, S, 3) decoded frames in [0, 1]
-     (any subset is fine; only present keys are checked)
+  1. Record activations from the reference implementation with
+     tools/record_reference_activations.py (it can also synthesize a
+     full-size checkpoint when no real one is available — no egress).
   2. Run:  python tools/parity_check.py acts.npz --checkpoint FLOAT.safetensors
+
+Stages (any subset recorded is checked):
+  s_r, r_s_lambda, r_s   image encoder + Direction
+  wa                     wav2vec2-base + interpolation + projection
+  we                     SER emotion softmax
+  r_d                    chunked CFG-ODE sampling with the recorded noise
+  frames_small           decode at trained-regime latent scale (strict)
+  frames                 decode at raw x0 scale — judged relative to the
+                         reference's own f32-vs-f64 conditioning floor
+                         (frames_f64), since random weights + unit-variance
+                         latents make the synthesis chaotically conditioned
 
 Reports max-abs / rel error per stage and pass/fail vs tolerances.
 """
@@ -35,11 +36,13 @@ TOLERANCES = {           # fp32 stage tolerances (atol, rtol)
     "wa": (2e-3, 2e-3),
     "we": (1e-3, 1e-3),
     "r_d": (5e-3, 5e-3),
+    "frames_small": (2e-2, 2e-2),
     "frames": (2e-2, 2e-2),
 }
+FLOOR_FACTOR = 4.0       # frames pass if err <= FLOOR_FACTOR * f32-vs-f64 floor
 
 
-def compare(name, got, ref, atol, rtol):
+def compare(name, got, ref, atol, rtol, floor=None):
     got = np.asarray(got, np.float32)
     ref = np.asarray(ref, np.float32)
     if got.shape != ref.shape:
@@ -48,8 +51,23 @@ def compare(name, got, ref, atol, rtol):
     err = np.abs(got - ref)
     rel = err / (np.abs(ref) + 1e-6)
     ok = bool((err <= atol + rtol * np.abs(ref)).all())
+    note = ""
+    if not ok and floor is not None:
+        # conditioning floor: mine-vs-ref-f32 must stay within FLOOR_FACTOR
+        # of the clip's own ref-f32-vs-ref-f64 spread.  (The comparison is
+        # clip-global: per-frame floors fluctuate randomly — a frame where
+        # two roundings happen to agree is not evidence that a third must.)
+        fl = float(np.abs(floor).max())
+        ok = float(err.max()) <= max(FLOOR_FACTOR * fl, atol)
+        e_t = err.reshape(err.shape[0], -1).max(axis=1)
+        f_t = np.abs(floor).reshape(floor.shape[0], -1).max(axis=1)
+        ratio = e_t / np.maximum(f_t, atol / FLOOR_FACTOR)
+        note = (f"  [conditioning floor (ref f32-vs-f64): max={fl:.3e}, "
+                f"ours/floor={err.max() / max(fl, 1e-12):.2f}x "
+                f"(per-frame median {np.median(ratio):.2f}x), "
+                f"pass<={FLOOR_FACTOR}x]")
     print(f"{'PASS' if ok else 'FAIL'} {name}: max|err|={err.max():.3e} "
-          f"max rel={rel.max():.3e} (atol={atol}, rtol={rtol})")
+          f"max rel={rel.max():.3e} (atol={atol}, rtol={rtol}){note}")
     return ok
 
 
@@ -58,8 +76,15 @@ def main():
     ap.add_argument("activations", help=".npz with recorded reference tensors")
     ap.add_argument("--checkpoint", default="models/float/FLOAT.safetensors")
     ap.add_argument("--emotion", default="none")
+    ap.add_argument("--a-cfg", type=float, default=2.0)
+    ap.add_argument("--e-cfg", type=float, default=1.3)
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. 'cpu'); default = env")
     args = ap.parse_args()
 
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from float_tpu.config import FloatConfig
     from float_tpu.io.checkpoint import load_unified_checkpoint
@@ -95,12 +120,24 @@ def main():
             from float_tpu.runtime.sampling import sample_motion_latents
             r_d = sample_motion_latents(
                 params["fmt"], r_s, wa, we, cfg=cfg,
+                a_cfg_scale=args.a_cfg, e_cfg_scale=args.e_cfg,
                 noise=jnp.asarray(acts["noise"]))
             results.append(compare("r_d", r_d, acts["r_d"], *TOLERANCES["r_d"]))
-            if "frames" in acts:
-                frames = pipe.decode(s_r, feats, r_d)
-                results.append(compare("frames", frames, acts["frames"],
-                                       *TOLERANCES["frames"]))
+
+    # decode stages use the RECORDED r_d so decode parity is isolated from
+    # sampling drift (which the chaotic random-weight synthesis amplifies)
+    if "frames_small" in acts and "r_d_small" in acts:
+        frames = pipe.decode(s_r, feats, jnp.asarray(acts["r_d_small"]))
+        floor_s = (acts["frames_small"] - acts["frames_small_f64"]
+                   if "frames_small_f64" in acts else None)
+        results.append(compare("frames_small", frames, acts["frames_small"],
+                               *TOLERANCES["frames_small"], floor=floor_s))
+    if "frames" in acts:
+        frames = pipe.decode(s_r, feats, jnp.asarray(acts["r_d"]))
+        floor = (acts["frames"] - acts["frames_f64"]
+                 if "frames_f64" in acts else None)
+        results.append(compare("frames", frames, acts["frames"],
+                               *TOLERANCES["frames"], floor=floor))
 
     print(f"\n{sum(results)}/{len(results)} stages within tolerance")
     sys.exit(0 if all(results) else 1)
