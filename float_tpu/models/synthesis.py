@@ -311,7 +311,11 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                 flow64 = fl
             if collect_flow_stats and res >= 128:
                 from ..ops.nhwc import flow_needed_disp
-                flow_stats.append(flow_needed_disp(fl, res, res))
+                # stats are advisory (the ratchet's D only sizes the fast
+                # path; exactness comes from the fixup): a 4-frame subset
+                # keeps the per-chunk cost ~1 ms so EVERY chunk can report
+                flow_stats.append(
+                    flow_needed_disp(fl[: min(4, fl.shape[0])], res, res))
             skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip,
                               blur_kernel=blur_kernel)
 

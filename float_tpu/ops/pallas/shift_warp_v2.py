@@ -115,15 +115,22 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
             fys.append(((gy + 1.0) * h - 1.0) * 0.5)
             fxs.append(((gx + 1.0) * w - 1.0) * 0.5)
 
-        def taps(dl: int):
-            """Exact bilinear tap sum for displacements up to ``dl``."""
+        def taps(dl: int, hoist: bool = True):
+            """Exact bilinear tap sum for displacements up to ``dl``.
+
+            ``hoist=True`` keeps the nt lane-expanded horizontal weight
+            fields live across the dy loop (fast, more VMEM); the
+            recentered fast4 path has made this the RARE branch, so its
+            cond variant uses hoist=False to keep the kernel's peak VMEM
+            at the fast path's footprint."""
             nt = 2 * dl + 2
-            # hoisted lane-expanded horizontal fields (nt f32 temps); the
-            # vertical field is rebuilt per fori step (bounded liveness)
-            wxf = [
-                lane_expand(_hat_fields_at(fxs, c_abs, w, dx, groups))
-                for dx in range(-dl, dl + 2)
-            ]
+            if hoist:
+                wxf = [
+                    lane_expand(_hat_fields_at(fxs, c_abs, w, dx, groups))
+                    for dx in range(-dl, dl + 2)
+                ]
+            else:
+                wxf = None
 
             def body(t, acc):
                 dyf = (t - dl).astype(jnp.float32)
@@ -139,35 +146,101 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
                 # nt FMAs + 1 instead of 2 ops per tap.  (A fully-unrolled
                 # dy loop blows the 16 MB VMEM stack.)
                 row = pl.ds(m - dl + t, tr)
-                s = wxf[0] * win_rot[d - dl, row].astype(jnp.float32)
+
+                def wx(k):
+                    if wxf is not None:
+                        return wxf[k]
+                    return lane_expand(_hat_fields_at(
+                        fxs, c_abs, w, k - dl, groups))
+
+                s = wx(0) * win_rot[d - dl, row].astype(jnp.float32)
                 for k in range(1, nt):
                     # free slice: leading dims of the rotated windows
                     sl = win_rot[d - dl + k, row]
-                    s = s + wxf[k] * sl.astype(jnp.float32)
+                    s = s + wx(k) * sl.astype(jnp.float32)
                 return acc + wy_l * s
 
             return jax.lax.fori_loop(0, nt, body,
                                      jnp.zeros((tr, TC, 128), jnp.float32))
 
+        def fastn(n, oy, ox):
+            """Recentered exact n x n-tap bilinear: taps at rows
+            oy + [-1, n-2] and pre-rotated columns ox + [-1, n-2].  Valid
+            whenever the tile's local integer-displacement spread fits a
+            width-(n-2) window (checked by the caller); out-of-image taps
+            read the zero padding, which IS grid_sample's zeros semantics.
+
+            Weight fields come from RELATIVE lane-expanded coordinate
+            fields built once per frame-group: each hat field is then 4
+            plain full-width VPU ops with a scalar offset — the per-tap
+            lane-splat FMAs of lane_expand (a splat is ~2 passes/vreg)
+            were the kernel's dominant cost at groups=4."""
+            oyf = oy.astype(jnp.float32)
+            oxf = ox.astype(jnp.float32)
+            # relative displacement fields (small subs first, ONE expand)
+            dy_l = lane_expand([fys[g] - r_abs for g in range(groups)])
+            dx_l = lane_expand([fxs[g] - c_abs for g in range(groups)])
+            wxf = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(dx_l - (oxf + (k - 1.0))))
+                for k in range(n)
+            ]
+            acc = jnp.zeros((tr, TC, 128), jnp.float32)
+            for t in range(n):
+                wy_l = jnp.maximum(0.0, 1.0 - jnp.abs(dy_l - (oyf + (t - 1.0))))
+                row = pl.ds(m + oy - 1 + t, tr)
+                s = jnp.zeros((tr, TC, 128), jnp.float32)
+                for k in range(n):
+                    sl = win_rot[pl.ds(d + ox + (k - 1), 1), row][0]
+                    s = s + wxf[k] * sl.astype(jnp.float32)
+                acc = acc + wy_l * s
+            return acc
+
         if d <= 1:
             acc = taps(d)
         else:
-            # flows are spatially smooth: most tiles need D <= 1 even when
-            # the clip's ratchet D is larger.  Branch per (tile, frame
-            # group) on the locally needed displacement — the fast path
-            # runs 4x4 taps instead of (2D+2)².
-            d_need = jnp.zeros((), jnp.float32)
+            # flows are spatially smooth: within one (tile, frame-group
+            # block) the integer displacements almost always span <= 2, so
+            # a shared integer recentering (oy, ox) makes an exact 4x4-tap
+            # path cover ANY local displacement window — the (2D+2)² path
+            # only remains for tiles whose local spread exceeds 2.
+            big = jnp.float32(1e9)
+            dy_mn = dx_mn = big
+            dy_mx = dx_mx = -big
+            df = jnp.float32(d)
             for g in range(groups):
-                y0 = jnp.floor(fys[g])
-                x0 = jnp.floor(fxs[g])
-                rel = ((y0 + 1 >= 0) & (y0 < h)
-                       & (x0 + 1 >= 0) & (x0 < w)).astype(jnp.float32)
-                dy = jnp.abs(y0 - r_abs) * rel
-                dx = jnp.abs(x0 - c_abs) * rel
-                d_need = jnp.maximum(d_need,
-                                     jnp.max(jnp.maximum(dy, dx)))
-            acc = jax.lax.cond(d_need <= 1.0, lambda: taps(1),
-                               lambda: taps(d))
+                # clip to the kernel's coverage: |disp| > d pixels are the
+                # host fixup's job (their hat weights vanish at any
+                # recentered tap), so they must not block the fast paths
+                dy = jnp.clip(jnp.floor(fys[g]) - r_abs, -df, df)
+                dx = jnp.clip(jnp.floor(fxs[g]) - c_abs, -df, df)
+                dy_mn = jnp.minimum(dy_mn, jnp.min(dy))
+                dy_mx = jnp.maximum(dy_mx, jnp.max(dy))
+                dx_mn = jnp.minimum(dx_mn, jnp.min(dx))
+                dx_mx = jnp.maximum(dx_mx, jnp.max(dx))
+            # a recentered n-tap path covers taps [dy_mn, dy_mx+1] within
+            # [oy-1, oy+n-2] (feasible iff local spread <= n-2); clamps
+            # keep the row slice inside the window and the column index
+            # inside win_rot's [-d, d+1] range: oy, ox in [1-d, d+3-n]
+            def offsets(n):
+                lo, hi = 1 - d, d + 3 - n
+                oy = jnp.clip(dy_mx.astype(jnp.int32) + 3 - n, lo, hi)
+                ox = jnp.clip(dx_mx.astype(jnp.int32) + 3 - n, lo, hi)
+                cov = ((dy_mn >= oy - 1) & (dy_mx + 1 <= oy + n - 2)
+                       & (dx_mn >= ox - 1) & (dx_mx + 1 <= ox + n - 2))
+                return oy, ox, cov
+
+            oy4, ox4, cov4 = offsets(4)
+            if 6 <= 2 * d + 2:
+                # middle tier: 6x6 taps cover spread <= 4 — at d == 2 that
+                # is TOTAL coverage (any |disp| <= 2 window fits), so the
+                # (2D+2)² fallback only survives for d >= 3 outlier tiles
+                oy6, ox6, cov6 = offsets(6)
+                slow = lambda: jax.lax.cond(
+                    cov6, lambda: fastn(6, oy6, ox6),
+                    lambda: taps(d, hoist=False))
+            else:
+                slow = lambda: taps(d, hoist=False)
+            acc = jax.lax.cond(cov4, lambda: fastn(4, oy4, ox4), slow)
         out_ref[pl.ds(bg, 1)] = acc.astype(out_dtype)[None]
         return 0
 
@@ -217,6 +290,10 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int):
             # block steps innermost and in-order: the cached window in
             # scratch must stay valid for bb > 0
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # the recentered fast4 + rare-path taps coexist across the
+            # cond, pushing the conservative stack bound past the 16 MB
+            # default; v5e has headroom above it
+            vmem_limit_bytes=28 * 1024 * 1024,
         ),
     )(gyg, gxg, feat_tiled)
 
@@ -267,11 +344,17 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
         # sequential per-frame gather: the patch tensor of a batched
         # gather ((B, H·W, 2, 2, C)) is allocated even when this branch
         # is not taken, which blows HBM at large frame batches.  The
-        # fixup is the rare path — lax.map keeps its footprint at 1/B.
+        # fixup is the rare path — lax.map keeps its footprint at 1/B,
+        # and the inner cond skips frames with no overflowing pixel
+        # (overflow is typically confined to 1-2 frames of a chunk).
         def one(args):
             oi, gi, ovi = args
-            exact = grid_sample_bilinear_nhwc(feat1_nhwc, gi[None])[0]
-            return jnp.where(ovi[..., None], exact, oi)
+
+            def exact():
+                full = grid_sample_bilinear_nhwc(feat1_nhwc, gi[None])[0]
+                return jnp.where(ovi[..., None], full, oi)
+
+            return jax.lax.cond(jnp.any(ovi), exact, lambda: oi)
         return jax.lax.map(one, (o, grid, overflow))
 
     return jax.lax.cond(jnp.any(overflow), fix, lambda o: o, out)

@@ -147,11 +147,25 @@ def _ratchet_apply(size: int, stats) -> tuple:
     return new
 
 
-def _stats_ready(stats) -> bool:
-    try:
-        return bool(stats.is_ready())
-    except AttributeError:
-        return True
+def _ratchet_apply_max(size: int, all_stats: list) -> tuple:
+    """Fold per-chunk stats vectors into the ratchet with ONE device sync
+    (stack on device, transfer once)."""
+    import numpy as np
+    stats = [s for s in all_stats if s is not None and s.shape[0]]
+    if not stats:
+        return _ratchet_get(size)
+    return _ratchet_apply(size, np.asarray(jnp.stack(stats)).max(axis=0))
+
+
+def _cast_params(params, dtype):
+    """Cast the synthesis pytree unless it already matches ``dtype``.
+
+    The per-call tree.map was ~200 device dispatches per clip; callers that
+    hold pre-cast params (FloatPipeline does) skip it entirely."""
+    leaves = jax.tree.leaves(params)
+    if all(getattr(l, "dtype", None) == dtype for l in leaves):
+        return params
+    return jax.tree.map(lambda a: a.astype(dtype), params)
 
 
 def decode_latents(
@@ -184,34 +198,31 @@ def decode_latents(
 
     # NHWC path: transpose the 7 skip maps once per clip
     feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
-    params_c = jax.tree.map(lambda a: a.astype(dtype), synthesis_params)
+    params_c = _cast_params(synthesis_params, dtype)
 
     chunks = []
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
-    stats = None
+    all_stats = []
     for ci in range(n_chunks):
         wa_c = wa[ci * fb:(ci + 1) * fb]
-        if ci == 0 and n_chunks > 1:
-            # adaptive-D probe: chunk 0 also reports the flows' real
-            # displacement bound.  Applied WITHOUT blocking — chunks keep
-            # dispatching on the current ratchet (still exact via the
-            # fixup) and pick up the tuned D once the stats land.
-            chunk, stats = fn(params_c, wa_c, feats_c, size,
-                              blur_kernel=blur_kernel,
-                              warp_disp=disp, with_stats=True)
-        else:
-            if stats is not None and _stats_ready(stats):
-                disp = _ratchet_apply(size, stats)
-                stats = None
-            chunk = fn(params_c, wa_c, feats_c, size,
-                       blur_kernel=blur_kernel, warp_disp=disp)
+        # EVERY chunk reports its flows' displacement bound (a ~1 ms
+        # 4-frame-subset reduction — see synthesis_cl): the monotone
+        # ratchet then converges to the clip's true max, not just chunk
+        # 0's.  Stats are folded in only AFTER the dispatch loop with a
+        # single device sync (mid-loop is_ready polling costs a ~30 ms
+        # tunnel round trip per chunk on the axon transport; measured
+        # +0.5 s/clip).  Exactness never depends on the ratchet — flows
+        # beyond D hit the kernels' cond-gather fixup.
+        chunk, stats = fn(params_c, wa_c, feats_c, size,
+                          blur_kernel=blur_kernel,
+                          warp_disp=disp, with_stats=True)
         chunks.append(chunk)
+        all_stats.append(stats)
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
-    if stats is not None:
-        _ratchet_apply(size, stats)   # for the next clip
     frames = jnp.concatenate(chunks, axis=0)
+    _ratchet_apply_max(size, all_stats)   # for the next clip
     return frames[:t_frames]
 
 
@@ -240,28 +251,23 @@ def decode_latents_to_host(
     if t_pad != t_frames:
         wa = jnp.pad(wa, ((0, t_pad - t_frames), (0, 0)), mode="edge")
     feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
-    params_c = jax.tree.map(lambda a: a.astype(dtype), synthesis_params)
+    params_c = _cast_params(synthesis_params, dtype)
 
     out = np.empty((t_frames, size, size, 3), np.float32)
     pending = []
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
-    stats = None
+    all_stats = []
     for ci in range(n_chunks):
         wa_c = wa[ci * fb:(ci + 1) * fb]
-        if ci == 0 and n_chunks > 1:
-            dev, stats = fn(params_c, wa_c, feats_c, size,
-                            out_u8=uint8_transfer,
-                            blur_kernel=blur_kernel,
-                            warp_disp=disp, with_stats=True)
-        else:
-            if stats is not None and _stats_ready(stats):
-                disp = _ratchet_apply(size, stats)
-                stats = None
-            dev = fn(params_c, wa_c, feats_c, size,
-                     out_u8=uint8_transfer,
-                     blur_kernel=blur_kernel, warp_disp=disp)
+        # every chunk reports stats; ratchet folded post-loop in one sync
+        # (see decode_latents)
+        dev, stats = fn(params_c, wa_c, feats_c, size,
+                        out_u8=uint8_transfer,
+                        blur_kernel=blur_kernel,
+                        warp_disp=disp, with_stats=True)
         pending.append((ci, dev))
+        all_stats.append(stats)
         # keep one chunk in flight: materialize the previous one while the
         # current computes
         if len(pending) > 1:
@@ -270,8 +276,7 @@ def decode_latents_to_host(
             frame_callback(ci, n_chunks)
     for item in pending:
         _drain(item, out, fb, t_frames, uint8_transfer)
-    if stats is not None:
-        _ratchet_apply(size, stats)   # for the next clip
+    _ratchet_apply_max(size, all_stats)   # for the next clip
     return out
 
 

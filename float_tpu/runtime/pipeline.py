@@ -135,6 +135,13 @@ class FloatPipeline:
             chunk_fn = make_sharded_chunk_fn(self.mesh)
         self._chunk_fn = chunk_fn
 
+        # pre-cast ONCE: the per-clip pytree cast was ~200 device
+        # dispatches on every decode call (decode._cast_params skips
+        # matching dtypes)
+        self._syn_cast = jax.tree.map(
+            lambda a: a.astype(jnp.dtype(cfg.compute_dtype)),
+            self.params["synthesis"])
+
         def _decode(syn_params, s_r, feats, r_d):
             return decode_latents(
                 syn_params, s_r, feats, r_d,
@@ -206,7 +213,7 @@ class FloatPipeline:
         """(1, dim_w) + feats + (1|T, T, dim_w) -> (T, S, S, 3) in [0, 1]."""
         if r_d.ndim == 3:
             r_d = r_d[0]
-        return self._decode(self.params["synthesis"], s_r, feats, r_d)
+        return self._decode(self._syn_cast, s_r, feats, r_d)
 
     def decode_to_host(self, s_r, feats, r_d, uint8_transfer: bool = True):
         """Decode + stream frames to host as float32 numpy (uint8 on the
@@ -215,7 +222,7 @@ class FloatPipeline:
         if r_d.ndim == 3:
             r_d = r_d[0]
         return decode_latents_to_host(
-            self.params["synthesis"], s_r, feats, r_d,
+            self._syn_cast, s_r, feats, r_d,
             size=self.cfg.input_size, decode_batch=self.cfg.decode_batch,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
             uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn)
