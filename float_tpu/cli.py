@@ -152,7 +152,11 @@ def main(argv=None):
     g.add_argument("--e-cfg-scale", type=float, default=1.0)
     g.add_argument("--fps", type=float, default=25.0)
     g.add_argument("--emotion", default="none")
-    g.add_argument("--face-align", action="store_true")
+    g.add_argument("--face-align", nargs="?", const=True, default=False,
+                   choices=[True, False, "fallback"],
+                   type=lambda v: {"true": True, "false": False}.get(v, v),
+                   help="detect+crop the face; 'fallback' allows a "
+                        "center-crop when face_alignment is missing")
     g.add_argument("--seed", type=int, default=15)
     g.add_argument("--adv-options", help="JSON ADV_FLOAT_DICT overrides")
     g.add_argument("--allow-synthetic", action="store_true",

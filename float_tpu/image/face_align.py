@@ -13,9 +13,10 @@ Returns (crop, bbox=(x, y, w, h)) where bbox locates the crop in the
 original image for later reinsertion (image/composite.py).
 
 The SFD detector itself is pluggable: pass any ``detector(img_rgb_uint8)
--> [(x1, y1, x2, y2, score), ...]``.  When the optional ``face_alignment``
-package is available it is used by default (matching the reference);
-otherwise detection degrades to the reference's no-face center-crop path.
+-> [(x1, y1, x2, y2, score), ...]``.  The default detector requires the
+``face_alignment`` package like the reference does (a missing package
+raises rather than silently changing the output); the degraded
+center-crop path is explicit opt-in via ``allow_fallback=True``.
 """
 from __future__ import annotations
 
@@ -31,24 +32,39 @@ _fa_detector = None
 
 
 def _default_detector(img: np.ndarray):
-    """SFD via the optional face_alignment package (lazy singleton)."""
+    """SFD via the face_alignment package (lazy singleton).
+
+    Raises ImportError when the package is absent: the reference
+    hard-imports it (src/nodes/utils/image.py:9), so a silent center-crop
+    here would make outputs differ from the reference on the same inputs.
+    Callers that explicitly want the degraded path pass
+    ``allow_fallback=True`` (or their own detector).
+    """
     global _fa_detector
     if _fa_detector is None:
-        try:
-            import face_alignment
-        except ImportError:
-            return None
+        import face_alignment
         _fa_detector = face_alignment.FaceAlignment(
             face_alignment.LandmarksType.TWO_D, flip_input=False)
     return _fa_detector.face_detector.detect_from_image(img)
 
 
 def detect_faces(img: np.ndarray,
-                 detector: Optional[Callable] = None) -> Optional[list]:
+                 detector: Optional[Callable] = None,
+                 allow_fallback: bool = False) -> Optional[list]:
     det = detector or _default_detector
     try:
         return det(img)
-    except Exception as exc:          # detector failure -> fallback path
+    except ImportError:
+        if allow_fallback:
+            logger.warning("face_alignment not installed; using the "
+                           "no-face center-crop path")
+            return None
+        raise ImportError(
+            "face alignment requested but the 'face_alignment' package is "
+            "not installed (the reference hard-requires it).  Install it, "
+            "pass a custom detector, or opt into the center-crop fallback "
+            "with allow_fallback=True / face_align='fallback'.")
+    except Exception as exc:          # runtime detector failure -> fallback
         logger.warning("face detection failed (%s); using center crop", exc)
         return None
 
@@ -59,13 +75,18 @@ def face_align_crop(
     margin: float = 1.6,
     index: int = 1,
     detector: Optional[Callable] = None,
+    allow_fallback: bool = False,
 ) -> Tuple[np.ndarray, Tuple[int, int, int, int]]:
-    """Detect + crop; returns (crop (S, S, 3) uint8, bbox (x, y, w, h))."""
+    """Detect + crop; returns (crop (S, S, 3) uint8, bbox (x, y, w, h)).
+
+    A missing face_alignment package raises unless ``allow_fallback``
+    (see detect_faces); no-face / detector-runtime failures center-crop
+    like the reference."""
     mult = 360.0 / img.shape[0]
     interp = cv2.INTER_AREA if mult < 1.0 else cv2.INTER_CUBIC
     resized = cv2.resize(img, dsize=(0, 0), fx=mult, fy=mult, interpolation=interp)
 
-    raw = detect_faces(resized, detector)
+    raw = detect_faces(resized, detector, allow_fallback=allow_fallback)
     bboxes: Sequence = []
     if raw:
         bboxes = [(int(x1 / mult), int(y1 / mult), int(x2 / mult), int(y2 / mult), s)

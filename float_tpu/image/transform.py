@@ -19,7 +19,7 @@ def to_model_input(img_u8: np.ndarray, input_size: int) -> np.ndarray:
 def comfy_image_to_model_input(image, input_size: int,
                                rgba_conversion: str = "blend_with_color",
                                bkg_color_hex: str = "#000000",
-                               face_align: bool = False,
+                               face_align=False,   # bool | "fallback"
                                face_margin: float = 1.6,
                                face_index: int = 1,
                                detector=None):
@@ -34,6 +34,8 @@ def comfy_image_to_model_input(image, input_size: int,
     u8 = image_to_uint8(np.asarray(image), rgba_conversion, bkg_color_hex)
     bbox = None
     if face_align:
-        u8, bbox = face_align_crop(u8, input_size, margin=face_margin,
-                                   index=face_index, detector=detector)
+        u8, bbox = face_align_crop(
+            u8, input_size, margin=face_margin, index=face_index,
+            detector=detector,
+            allow_fallback=(face_align == "fallback"))
     return to_model_input(u8, input_size), bbox

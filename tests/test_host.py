@@ -126,3 +126,29 @@ def test_feature_normalization_matches_hf():
     one = normalize_waveform(waves[0])
     ref1 = fe(waves[0], sampling_rate=16000, return_tensors="np").input_values[0]
     np.testing.assert_allclose(one, ref1, rtol=1e-4, atol=1e-5)
+
+
+def test_face_align_missing_dep_raises():
+    """Default detector + no face_alignment package -> ImportError (the
+    reference hard-imports it: src/nodes/utils/image.py:9); the degraded
+    center-crop is explicit opt-in."""
+    import importlib.util
+    if importlib.util.find_spec("face_alignment") is not None:
+        import pytest
+        pytest.skip("face_alignment installed; strict path not reachable")
+    img = (np.random.rand(100, 160, 3) * 255).astype(np.uint8)
+    import pytest
+    with pytest.raises(ImportError):
+        face_align_crop(img, 64)
+    crop, bbox = face_align_crop(img, 64, allow_fallback=True)
+    assert crop.shape == (64, 64, 3)
+    assert bbox == (80 - 50, 0, 100, 100)
+
+
+def test_preprocess_face_align_fallback_mode():
+    """face_align='fallback' opts into the center-crop degraded path."""
+    from float_tpu.image.transform import comfy_image_to_model_input
+    img = np.random.rand(100, 160, 3).astype(np.float32)
+    out, bbox = comfy_image_to_model_input(img, 64, face_align="fallback")
+    assert out.shape == (1, 3, 64, 64)
+    assert bbox is not None
