@@ -230,9 +230,12 @@ def float_image_face_align(image: np.ndarray, input_size: int = 512,
                            face_margin: float = 1.6, face_index: int = 1,
                            rgba_conversion: str = "blend_with_color",
                            bkg_color_hex: str = "#000000",
-                           detector=None) -> Tuple[np.ndarray, List[BBox]]:
+                           detector=None,
+                           allow_fallback: bool = False) -> Tuple[np.ndarray, List[BBox]]:
     """FloatImageFaceAlign: batch face-align -> (cropped IMAGE, BBOX list)
-    (reference: nodes_adv.py:38-127)."""
+    (reference: nodes_adv.py:38-127).  ``allow_fallback`` opts into the
+    center-crop path when face_alignment is not installed (a missing
+    package otherwise raises, like the reference's hard import)."""
     img = np.asarray(image)
     if img.ndim == 3:
         img = img[None]
@@ -240,7 +243,8 @@ def float_image_face_align(image: np.ndarray, input_size: int = 512,
     for i in range(img.shape[0]):
         u8 = image_to_uint8(img[i], rgba_conversion, bkg_color_hex)
         crop, bbox = face_align_crop(u8, input_size, margin=face_margin,
-                                     index=face_index, detector=detector)
+                                     index=face_index, detector=detector,
+                                     allow_fallback=allow_fallback)
         crops.append(crop.astype(np.float32) / 255.0)
         bboxes.append(bbox)
     return np.stack(crops), bboxes
@@ -276,9 +280,17 @@ def float_encode_image_to_latents(float_pipe: FloatPipe, image: np.ndarray,
     img = np.asarray(image)
     if img.ndim == 3:
         img = img[None]
+    if img.ndim != 4:
+        raise ValueError(
+            f"'image' must be (B, H, W, C), got {img.ndim}D shape {img.shape}")
     cfg = float_pipe.cfg
     if img.shape[1] != cfg.input_size or img.shape[2] != cfg.input_size:
-        raise ValueError(f"expected {cfg.input_size}² input, got {img.shape}")
+        raise ValueError(f"expected {cfg.input_size}² input, got {img.shape}"
+                         " (reference: nodes_adv.py:262-274)")
+    if img.shape[3] != cfg.input_nc:
+        raise ValueError(
+            f"input images must have {cfg.input_nc} channels, got "
+            f"{img.shape[3]} (reference: nodes_adv.py:272-274)")
     x = jnp.asarray(np.transpose(img, (0, 3, 1, 2)) * 2.0 - 1.0,
                     dtype=jnp.float32)
     s_r, lam, feats, _r_s = float_pipe.pipeline.encode_image(x)
@@ -330,7 +342,21 @@ def float_sample_motion_sequence(float_pipe: FloatPipe, r_s, wa, we,
     (reference: nodes_adv.py:697-820; r_cfg/ODE params come from the pipe's
     options, set via advanced_float_options)."""
     cfg = float_pipe.cfg
+    # batch-consistency validation (reference: nodes_adv.py:727-742)
+    batch = wa.shape[0]
+    if r_s.shape[0] != batch or we.shape[0] != batch:
+        raise ValueError(
+            f"batch size mismatch: wa has {batch}, r_s has {r_s.shape[0]}, "
+            f"we has {we.shape[0]} — all must match")
+    if r_s.ndim != 2 or wa.ndim != 3 or we.ndim != 3:
+        raise ValueError(
+            f"expected r_s (B,{cfg.dim_w}), wa (B,T,{cfg.dim_a}), we "
+            f"(B,1|T,{cfg.dim_e}); got {r_s.shape}, {wa.shape}, {we.shape}")
     if audio_num_frames is not None and audio_num_frames != wa.shape[1]:
+        logger.warning(
+            "wa time dimension (%d) differs from audio_num_frames (%d); "
+            "trimming/chunking to audio_num_frames",
+            wa.shape[1], audio_num_frames)
         wa = wa[:, :audio_num_frames]
     use_seed = seed if (fix_noise_seed if fix_noise_seed is not None
                         else cfg.fix_noise_seed) else None
@@ -348,11 +374,17 @@ def float_decode_latents_to_images(float_pipe: FloatPipe,
     (reference: nodes_adv.py:823-930 — per-batch-item streamed decode)."""
     cfg = float_pipe.cfg
     b = appearance_pipe.h_source.shape[0]
+    if r_d.ndim != 3:
+        raise ValueError(f"r_d must be (B, T, dim), got shape {r_d.shape}")
+    if r_d.shape[0] != b:
+        raise ValueError(
+            f"batch mismatch: appearance pipe has {b} items, r_d has "
+            f"{r_d.shape[0]} (reference: nodes_adv.py:855-872)")
     outs = []
     for i in range(b):
         feats_i = [f[i:i + 1] for f in appearance_pipe.feats]
         outs.append(decode_latents_to_host(
-            float_pipe.pipeline.params["synthesis"],
+            float_pipe.pipeline._syn_cast,
             appearance_pipe.h_source[i:i + 1], feats_i, r_d[i],
             size=cfg.input_size, decode_batch=cfg.decode_batch,
             compute_dtype=jnp.dtype(cfg.compute_dtype)))

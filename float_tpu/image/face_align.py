@@ -82,37 +82,40 @@ def face_align_crop(
     A missing face_alignment package raises unless ``allow_fallback``
     (see detect_faces); no-face / detector-runtime failures center-crop
     like the reference."""
-    mult = 360.0 / img.shape[0]
-    interp = cv2.INTER_AREA if mult < 1.0 else cv2.INTER_CUBIC
-    resized = cv2.resize(img, dsize=(0, 0), fx=mult, fy=mult, interpolation=interp)
+    det_scale = 360.0 / img.shape[0]
+    interp = cv2.INTER_AREA if det_scale < 1.0 else cv2.INTER_CUBIC
+    resized = cv2.resize(img, dsize=(0, 0), fx=det_scale, fy=det_scale,
+                         interpolation=interp)
 
     raw = detect_faces(resized, detector, allow_fallback=allow_fallback)
     bboxes: Sequence = []
     if raw:
-        bboxes = [(int(x1 / mult), int(y1 / mult), int(x2 / mult), int(y2 / mult), s)
+        bboxes = [(int(x1 / det_scale), int(y1 / det_scale),
+                   int(x2 / det_scale), int(y2 / det_scale), s)
                   for (x1, y1, x2, y2, s) in raw if s > 0.95]
 
     if not bboxes:
         logger.warning("no face detected; using center square crop")
-        my = img.shape[0] // 2
-        mx = img.shape[1] // 2
-        bs = min(mx, my)
-        bbox_r = (mx - bs, my - bs, 2 * bs, 2 * bs)
+        cy = img.shape[0] // 2
+        cx = img.shape[1] // 2
+        half_side = min(cx, cy)
+        bbox = (cx - half_side, cy - half_side, 2 * half_side, 2 * half_side)
     else:
         if index > len(bboxes):
             logger.warning("only %d faces detected, using the first", len(bboxes))
             index = 1
         x1, y1, x2, y2, _score = bboxes[index - 1]
-        bsy = (y2 - y1) // 2
-        bsx = (x2 - x1) // 2
-        my = (y1 + y2) // 2
-        mx = (x1 + x2) // 2
-        bs = int(max(bsy, bsx) * margin)
-        img = cv2.copyMakeBorder(img, bs, bs, bs, bs, cv2.BORDER_CONSTANT, value=0)
-        bbox_r = (mx - bs, my - bs, 2 * bs, 2 * bs)
-        my, mx = my + bs, mx + bs
+        half_h = (y2 - y1) // 2
+        half_w = (x2 - x1) // 2
+        cy = (y1 + y2) // 2
+        cx = (x1 + x2) // 2
+        half_side = int(max(half_h, half_w) * margin)
+        img = cv2.copyMakeBorder(img, half_side, half_side, half_side,
+                                 half_side, cv2.BORDER_CONSTANT, value=0)
+        bbox = (cx - half_side, cy - half_side, 2 * half_side, 2 * half_side)
+        cy, cx = cy + half_side, cx + half_side
 
-    crop = img[my - bs:my + bs, mx - bs:mx + bs]
+    crop = img[cy - half_side:cy + half_side, cx - half_side:cx + half_side]
     crop = cv2.resize(crop, dsize=(input_size, input_size),
-                      interpolation=cv2.INTER_AREA if mult < 1.0 else cv2.INTER_CUBIC)
-    return crop, bbox_r
+                      interpolation=cv2.INTER_AREA if det_scale < 1.0 else cv2.INTER_CUBIC)
+    return crop, bbox

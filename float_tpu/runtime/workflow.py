@@ -77,7 +77,9 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
 
     elif mode == "dynamic_emotion":
         cfg = pipe.cfg.replace(fps=fps)
-        aligned, _ = N.float_image_face_align(img[None], cfg.input_size) \
+        aligned, _ = N.float_image_face_align(
+            img[None], cfg.input_size,
+            allow_fallback=wf.get("face_align") == "fallback") \
             if wf.get("face_align") else (img[None], None)
         app, lam = N.float_encode_image_to_latents(pipe, aligned)
         r_s = N.float_get_identity_reference(pipe, lam)
@@ -100,7 +102,8 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
         for face_idx in faces:
             aligned, bboxes = N.float_image_face_align(
                 img[None], pipe.cfg.input_size,
-                face_margin=pipe.cfg.face_margin, face_index=face_idx)
+                face_margin=pipe.cfg.face_margin, face_index=face_idx,
+                allow_fallback=wf.get("face_align") == "fallback")
             frames_f, _, _ = N.float_process(
                 aligned, wave[None], pipe, a_cfg_scale=a_cfg,
                 e_cfg_scale=e_cfg, fps=fps, emotion=emotion,

@@ -248,3 +248,33 @@ def test_wav2vec2_split_stages_match_forward(rng):
                                np.asarray(out_full.last_hidden_state),
                                rtol=1e-6, atol=1e-6)
     assert len(out_split.hidden_states) == TINY_W2V.num_hidden_layers + 1
+
+
+def test_node_input_validation(float_pipe):
+    """Reference-style batch/shape validation on the Advanced node surface
+    (reference: nodes_adv.py:262-274, 727-742, 855-872)."""
+    import numpy as np
+    import pytest
+    import jax.numpy as jnp
+    from float_tpu.api import nodes as N
+
+    pipe = float_pipe
+    cfg = pipe.cfg
+
+    with pytest.raises(ValueError, match="channels"):
+        N.float_encode_image_to_latents(
+            pipe, np.zeros((1, cfg.input_size, cfg.input_size, 4), np.float32))
+    with pytest.raises(ValueError, match="B, H, W, C"):
+        N.float_encode_image_to_latents(pipe, np.zeros((2, 2), np.float32))
+
+    r_s = jnp.zeros((1, cfg.dim_w))
+    wa = jnp.zeros((2, 10, cfg.dim_w))
+    we = jnp.zeros((2, 1, cfg.dim_e))
+    with pytest.raises(ValueError, match="batch size mismatch"):
+        N.float_sample_motion_sequence(pipe, r_s, wa, we)
+
+    app, _lam = N.float_encode_image_to_latents(
+        pipe, np.zeros((1, cfg.input_size, cfg.input_size, 3), np.float32))
+    with pytest.raises(ValueError, match="batch mismatch"):
+        N.float_decode_latents_to_images(
+            pipe, app, jnp.zeros((3, 4, cfg.dim_w)))
