@@ -48,12 +48,13 @@ def main():
     waves = [jnp.asarray(rng.standard_normal((1, n_samples)).astype(np.float32) * 0.1)
              for _ in range(3)]
 
-    # warm-up / compile: twice, because the first clip's flow probe can
-    # ratchet the warp kernels' static D (runtime/decode.py) — the second
-    # pass compiles the steady-state programs
-    for w in range(2):
+    # warm-up / compile: cover every (wave, seed) the timed loop uses —
+    # each clip's flow stats can ratchet the warp kernels' static D
+    # (runtime/decode.py), and a ratchet bump inside the timed loop would
+    # trigger a recompile there
+    for w in range(len(waves) + 1):
         frames = pipe.generate(img, waves[w % len(waves)], emotion="none",
-                               seed=15 + w)
+                               seed=15 + w % len(waves))
         np.asarray(frames[-1])               # force full materialization
 
     # timed: vary audio + seed each rep so nothing dedups

@@ -57,6 +57,13 @@ def upfirdn2d_cl(x, kernel, up=1, down=1, pad=(0, 0)):
         feature_group_count=c)
 
 
+# channels <= this use the band-matmul (MXU) upfirdn form; wider tensors
+# keep the depthwise conv.  The depthwise form runs at C/128 lane
+# occupancy on the VPU, so low-channel blurs (RGB/flow skip chains) are
+# much faster as einsums on the otherwise-idle MXU.
+MXU_BLUR_MAX_C = 15
+
+
 def upsample2x_cl(x, blur_kernel=(1, 3, 3, 1)):
     """2x upsample.  Low-channel tensors (the 3-channel RGB / raw-flow
     skip chains) go through MXU band matmuls (upfirdn.upfirdn2d_mxu) —
@@ -64,7 +71,7 @@ def upsample2x_cl(x, blur_kernel=(1, 3, 3, 1)):
     tensors keep the depthwise conv, which XLA fuses well in-graph."""
     factor = 2
     p = len(blur_kernel) - factor
-    if x.shape[-1] < 16:
+    if x.shape[-1] <= MXU_BLUR_MAX_C:
         from .upfirdn import upfirdn2d_mxu
         return upfirdn2d_mxu(x, blur_kernel, up=factor, down=1,
                              pad=((p + 1) // 2 + factor - 1, p // 2),
@@ -104,8 +111,13 @@ def modulated_conv2d_cl(x, style, weight, mod_weight, mod_bias,
             out = out * demod.astype(x.dtype)[:, None, None, :]
         factor = 2
         p = (len(blur_kernel) - factor) - (kh - 1)
+        pad = ((p + 1) // 2 + factor - 1, p // 2 + 1)
+        if out.shape[-1] <= MXU_BLUR_MAX_C:
+            from .upfirdn import upfirdn2d_mxu
+            return upfirdn2d_mxu(out, blur_kernel, up=1, down=1, pad=pad,
+                                 kernel_gain=factor ** 2)
         k = make_blur_kernel(blur_kernel, upsample_factor=factor)
-        return upfirdn2d_cl(out, k, pad=((p + 1) // 2 + factor - 1, p // 2 + 1))
+        return upfirdn2d_cl(out, k, pad=pad)
 
     pad = kh // 2
     out = jax.lax.conv_general_dilated(
