@@ -57,7 +57,7 @@ def _hat_fields_at(fs, base_abs, size, off, groups):
                       0.0) for g in range(groups)]
 
 
-def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
+def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
             *, h, w, d, groups, tr, nb, out_dtype):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -114,6 +114,24 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, win, win_rot, sem,
             gx = gx_ref[bg, g].astype(jnp.float32)
             fys.append(((gy + 1.0) * h - 1.0) * 0.5)
             fxs.append(((gx + 1.0) * w - 1.0) * 0.5)
+
+        # beyond-D overflow flag, same semantics as the host-side
+        # _overflow_mask (in-image taps only): the wrapper's fixup cond
+        # keys on this scalar, so the per-pixel mask fields are only
+        # ever computed inside the (rare) fixup branch
+        ovf = jnp.zeros((), jnp.float32)
+        for g in range(groups):
+            y0 = jnp.floor(fys[g])
+            x0 = jnp.floor(fxs[g])
+            rel = ((y0 + 1 >= 0) & (y0 < h)
+                   & (x0 + 1 >= 0) & (x0 < w))
+            far = (jnp.abs(y0 - r_abs) > d) | (jnp.abs(x0 - c_abs) > d)
+            ovf = jnp.maximum(ovf, jnp.max((far & rel).astype(jnp.float32)))
+        # max-accumulate into the single SMEM scalar (grid is sequential:
+        # dimension_semantics all "arbitrary")
+        first = (i == 0) & (j == 0) & (bb == 0) & (bg == 0)
+        prev = jnp.where(first, 0, ovf_ref[0])
+        ovf_ref[0] = jnp.maximum(prev, ovf.astype(jnp.int32))
 
         def taps(dl: int, hoist: bool = True):
             """Exact bilinear tap sum for displacements up to ``dl``.
@@ -273,9 +291,11 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((nb, tr, TC, 128),
-                               lambda i, j, b: (b, i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((nbg, h, w, 128), out_dtype),
+        out_specs=(pl.BlockSpec((nb, tr, TC, 128),
+                                lambda i, j, b: (b, i, j, 0)),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nbg, h, w, 128), out_dtype),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
         scratch_shapes=[
             pltpu.VMEM((wr, wc, 128), feat_tiled.dtype),
             pltpu.VMEM((2 * d + 2, wr, TC, 128), feat_tiled.dtype),
@@ -334,13 +354,17 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     gyg = gy.reshape(b // groups, groups, h, w)
     gxg = gx.reshape(b // groups, groups, h, w)
 
-    packed = _packed_warp_v2(ftile, gyg, gxg, max_disp, groups, tr)
+    packed, ovf_flags = _packed_warp_v2(ftile, gyg, gxg, max_disp, groups, tr)
     out = packed.reshape(b // groups, h, w, groups, cg)
     out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, h, w, cg)[..., :c]
 
-    overflow = _overflow_mask(h, w, gy, gx, max_disp)
-
     def fix(o):
+        # the per-pixel overflow mask is ONLY computed here — the cond
+        # predicate comes from the kernel's tiny per-tile flags, so the
+        # common no-overflow case skips these (B, H, W) field ops
+        # entirely (~3-5 ms/chunk at 512²).
+        overflow = _overflow_mask(h, w, gy, gx, max_disp)
+
         # sequential per-frame gather: the patch tensor of a batched
         # gather ((B, H·W, 2, 2, C)) is allocated even when this branch
         # is not taken, which blows HBM at large frame batches.  The
@@ -357,4 +381,4 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
             return jax.lax.cond(jnp.any(ovi), exact, lambda: oi)
         return jax.lax.map(one, (o, grid, overflow))
 
-    return jax.lax.cond(jnp.any(overflow), fix, lambda o: o, out)
+    return jax.lax.cond(ovf_flags[0] > 0, fix, lambda o: o, out)

@@ -44,8 +44,10 @@ def test_workflow_dynamic_emotion(pipe, face_img, wave):
 
 def test_workflow_insert_two_faces(pipe, wave):
     bg = np.random.default_rng(3).random((128, 160, 3)).astype(np.float32)
+    # face_align='fallback' opts into the center-crop path (no
+    # face_alignment dep in this environment; strict raise otherwise)
     wf = {"mode": "insert", "image": bg, "audio": wave,
-          "faces": [1, 2], "seed": 3}
+          "faces": [1, 2], "seed": 3, "face_align": "fallback"}
     frames = run_workflow(wf, output="", pipe=pipe)
     # composited output keeps the original background geometry per frame
     assert frames.shape == (19, 128, 160, 3)

@@ -80,11 +80,17 @@ def main():
     ap.add_argument("--e-cfg", type=float, default=1.3)
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. 'cpu'); default = env")
+    ap.add_argument("--precision", default=None,
+                    help="jax default matmul precision; on TPU pass "
+                         "'highest' so f32 matmuls/convs use multi-pass "
+                         "bf16 (default single-pass fails fp32 tolerances)")
     args = ap.parse_args()
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
     import jax.numpy as jnp
     from float_tpu.config import FloatConfig
     from float_tpu.io.checkpoint import load_unified_checkpoint
