@@ -52,18 +52,26 @@ def main():
     # each clip's flow stats can ratchet the warp kernels' static D
     # (runtime/decode.py), and a ratchet bump inside the timed loop would
     # trigger a recompile there
+    # (the scalar-readback sync program is warmed too: its first compile
+    # costs ~0.4 s on this transport)
     for w in range(len(waves) + 1):
         frames = pipe.generate(img, waves[w % len(waves)], emotion="none",
                                seed=15 + w % len(waves))
+        float(jnp.sum(frames[0, 0, 0]))
         np.asarray(frames[-1])               # force full materialization
 
-    # timed: vary audio + seed each rep so nothing dedups
+    # timed throughput: clips dispatch back-to-back (the serving shape) and
+    # ONE data-dependent scalar readback closes the pipeline — the device
+    # executes in dispatch order, so the final sum transitively waits for
+    # every clip.  block_until_ready is NOT a sync on the axon tunnel
+    # (returns early, CLAUDE.md); a per-clip readback instead measures
+    # serialized latency (~4% higher: host dispatch can't overlap decode).
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         frames = pipe.generate(img, waves[i % len(waves)], emotion="none",
                                seed=15 + i)
-        frames.block_until_ready()
+    float(jnp.sum(frames[0, 0, 0]))
     dt = (time.perf_counter() - t0) / reps
 
     fps = t_frames / dt

@@ -211,20 +211,28 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
     return grid_sample_bilinear_nhwc(feat, grid)
 
 
-def flow_needed_disp(grid, h, w):
-    """Max per-axis integer displacement this flow field needs from the
-    static-shift kernels (the adaptive-D probe).  Counts only taps that
-    touch the image (out-of-image taps contribute zero, like the kernels'
-    overflow mask)."""
-    gy = grid[..., 1].astype(jnp.float32)
-    gx = grid[..., 0].astype(jnp.float32)
-    fy = ((gy + 1.0) * h - 1.0) * 0.5
-    fx = ((gx + 1.0) * w - 1.0) * 0.5
+def floor_disp_fields(gy, gx, h, w):
+    """(|dy|, |dx|, relevant) integer-displacement fields of a normalized
+    grid — THE shared definition of which taps the static-shift kernels
+    must cover: floor source coords vs the output pixel, counting only
+    taps that touch the image (out-of-image taps contribute zero under
+    grid_sample zeros padding).  Users: flow_needed_disp (ratchet probe),
+    _overflow_mask (fixup mask), and — re-derived in-kernel with the same
+    formulas — shift_warp_v2's overflow flag (shift_warp_v2._kernel)."""
+    fy = ((gy.astype(jnp.float32) + 1.0) * h - 1.0) * 0.5
+    fx = ((gx.astype(jnp.float32) + 1.0) * w - 1.0) * 0.5
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
     rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     cols = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     relevant = ((y0 + 1 >= 0) & (y0 < h)) & ((x0 + 1 >= 0) & (x0 < w))
-    dy = jnp.where(relevant, jnp.abs(y0 - rows), 0.0)
-    dx = jnp.where(relevant, jnp.abs(x0 - cols), 0.0)
+    return jnp.abs(y0 - rows), jnp.abs(x0 - cols), relevant
+
+
+def flow_needed_disp(grid, h, w):
+    """Max per-axis integer displacement this flow field needs from the
+    static-shift kernels (the adaptive-D probe)."""
+    dy, dx, relevant = floor_disp_fields(grid[..., 1], grid[..., 0], h, w)
+    dy = jnp.where(relevant, dy, 0.0)
+    dx = jnp.where(relevant, dx, 0.0)
     return jnp.maximum(jnp.max(dy), jnp.max(dx)).astype(jnp.int32)

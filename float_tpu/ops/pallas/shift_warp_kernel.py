@@ -129,16 +129,9 @@ def _shift_warp_nhwc(feat_padded, gy, gx, d: int):
 
 def _overflow_mask(h, w, gy, gx, d):
     """(B, H, W) bool: any in-image tap beyond displacement D."""
-    fy = ((gy.astype(jnp.float32) + 1.0) * h - 1.0) * 0.5
-    fx = ((gx.astype(jnp.float32) + 1.0) * w - 1.0) * 0.5
-    y0 = jnp.floor(fy)
-    x0 = jnp.floor(fx)
-    rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    cols = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    oy = (y0 < rows - d) | (y0 > rows + d)
-    ox = (x0 < cols - d) | (x0 > cols + d)
-    relevant = ((y0 + 1 >= 0) & (y0 < h)) & ((x0 + 1 >= 0) & (x0 < w))
-    return (oy | ox) & relevant
+    from ..nhwc import floor_disp_fields
+    dy, dx, relevant = floor_disp_fields(gy, gx, h, w)
+    return ((dy > d) | (dx > d)) & relevant
 
 
 def warp_bilinear_shift_pallas(feat_nchw: jnp.ndarray, grid: jnp.ndarray,

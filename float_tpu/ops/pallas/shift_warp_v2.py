@@ -248,16 +248,13 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
                 return oy, ox, cov
 
             oy4, ox4, cov4 = offsets(4)
-            if 6 <= 2 * d + 2:
-                # middle tier: 6x6 taps cover spread <= 4 — at d == 2 that
-                # is TOTAL coverage (any |disp| <= 2 window fits), so the
-                # (2D+2)² fallback only survives for d >= 3 outlier tiles
-                oy6, ox6, cov6 = offsets(6)
-                slow = lambda: jax.lax.cond(
-                    cov6, lambda: fastn(6, oy6, ox6),
-                    lambda: taps(d, hoist=False))
-            else:
-                slow = lambda: taps(d, hoist=False)
+            # middle tier: 6x6 taps cover spread <= 4 — at d == 2 that is
+            # TOTAL coverage (any |disp| <= 2 window fits), so the
+            # (2D+2)² fallback only survives for d >= 3 outlier tiles
+            oy6, ox6, cov6 = offsets(6)
+            slow = lambda: jax.lax.cond(
+                cov6, lambda: fastn(6, oy6, ox6),
+                lambda: taps(d, hoist=False))
             acc = jax.lax.cond(cov4, lambda: fastn(4, oy4, ox4), slow)
         out_ref[pl.ds(bg, 1)] = acc.astype(out_dtype)[None]
         return 0

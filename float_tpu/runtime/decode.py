@@ -40,7 +40,7 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
     ``with_stats=True`` additionally returns the per-level needed
     displacements (the adaptive-D probe run on the first chunk).
     """
-    stats = None
+    stats = jnp.zeros((0,), jnp.int32)   # no kernel levels -> no probe
     if channels_last:
         from ..models.synthesis import synthesis_cl
         if with_stats:
@@ -77,7 +77,7 @@ def make_sharded_chunk_fn(mesh):
     per-device on their local frame shard — every frame is independent
     (SURVEY §5.7), the only collective is the pmax on the probe stats.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     axes = tuple(mesh.axis_names)
 
@@ -108,7 +108,7 @@ def make_sharded_chunk_fn(mesh):
             body, mesh=mesh,
             in_specs=(P(), P(axes), P()),
             out_specs=(P(axes), P()) if with_stats else P(axes),
-            check_rep=False,
+            check_vma=False,
         )(params, wa_chunk, feats)
 
     return chunk_fn

@@ -4,8 +4,9 @@ parity harness (tools/parity_check.py).
 
 Drives the reference's own modules at runtime (nothing is copied).  Missing
 reference deps are shimmed from their public specs: `timm` (Mlp +
-use_fused_attn -> False, which selects the reference's manual-attention
-branch, FMT.py:75-80), `torchdiffeq.odeint` (fixed-step euler / midpoint /
+use_fused_attn -> True — the fused-SDPA branch, which real installs use
+and which is the only branch that applies the banded alignment mask,
+FMT.py:70-87), `torchdiffeq.odeint` (fixed-step euler / midpoint /
 heun2 / heun3 / rk4 — the only methods the reference whitelists,
 src/nodes/__init__.py:15-23), and `comfy.utils.ProgressBar` (no-op).
 
