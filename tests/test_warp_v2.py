@@ -70,3 +70,49 @@ def test_decode_stats_empty_for_small_sizes(rng):
                                  collect_flow_stats=True)
     assert stats.shape == (0,)
     assert img.shape == (2, 64, 64, 3)
+
+
+def test_ratchet_apply_max():
+    """Per-chunk stats fold into the ratchet as an elementwise max with
+    empty-stat chunks ignored (decode_latents collects one vector per
+    chunk, single post-loop sync)."""
+    D._DISP_RATCHET.pop(4096, None)
+    stats = [jnp.asarray([2, 1, 3]), None, jnp.zeros((0,), jnp.int32),
+             jnp.asarray([1, 4, 2])]
+    # 4096 -> n_kernel_levels gives len-3 tuple? guard: use a size whose
+    # level count matches the vectors
+    size = 512
+    assert n_kernel_levels(size) == 3
+    D._DISP_RATCHET.pop(size, None)
+    try:
+        new = D._ratchet_apply_max(size, stats)
+        # elementwise max over chunks, floored at the default D=2
+        assert new == (2, 4, 3)
+        # monotone: weaker later stats never lower it
+        assert D._ratchet_apply_max(size, [jnp.asarray([1, 1, 1])]) == (2, 4, 3)
+        # no stats at all -> unchanged
+        assert D._ratchet_apply_max(size, [None]) == (2, 4, 3)
+    finally:
+        D._DISP_RATCHET.pop(size, None)
+
+
+def test_overflow_mask_matches_needed_disp():
+    """The fixup mask and the ratchet probe agree through the shared
+    floor_disp_fields definition: a pixel overflows D iff the probe's
+    needed displacement at that pixel exceeds D."""
+    from float_tpu.ops.pallas.shift_warp_kernel import _overflow_mask
+    from float_tpu.ops.nhwc import floor_disp_fields
+    rng = np.random.default_rng(0)
+    h = w = 32
+    grid = jnp.asarray(identity_grid(h)[None]
+                       + rng.normal(0, 0.2, (1, h, w, 2)).astype(np.float32))
+    gy, gx = grid[..., 1], grid[..., 0]
+    for d in (1, 2, 4):
+        mask = np.asarray(_overflow_mask(h, w, gy, gx, d))
+        dy, dx, rel = floor_disp_fields(gy, gx, h, w)
+        ref = np.asarray(((dy > d) | (dx > d)) & rel)
+        assert (mask == ref).all()
+        # the probe bound covers every non-overflowing pixel
+        need = int(flow_needed_disp(grid, h, w))
+        if not mask.any():
+            assert need <= d
