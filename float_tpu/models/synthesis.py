@@ -211,8 +211,10 @@ def _to_rgb_cl(x, p, skip=None, blur_kernel=(1, 3, 3, 1)):
 
 
 def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
-                blur_kernel=(1, 3, 3, 1), max_disp=2):
-    # max_disp: static tap bound D of the shift-warp kernels at this level
+                blur_kernel=(1, 3, 3, 1), max_disp=2, apply_fixup=True):
+    # max_disp: static tap bound D of the shift-warp kernels at this level;
+    # apply_fixup=False = optimistic mode (returns a 5th element: the
+    # beyond-D overflow flag; see ops.nhwc.warp_cl)
     from ..ops.nhwc import modulated_conv2d_cl, upsample2x_cl, warp_cl
     out = modulated_conv2d_cl(
         x, style,
@@ -234,12 +236,18 @@ def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
     shared = feat if (feat.shape[0] == 1 and x.shape[0] != 1) else None
     feat_b = jnp.broadcast_to(feat, (x.shape[0],) + feat.shape[1:]) \
         if feat.shape[0] != x.shape[0] else feat
-    feat_warp = warp_cl(feat_b.astype(x.dtype), flow.astype(jnp.float32),
-                        use_kernel=use_warp_kernel, max_disp=max_disp,
-                        shared_feat=None if shared is None
-                        else shared.astype(x.dtype))
-    feat_warp = feat_warp * mask.astype(x.dtype)
+    warped = warp_cl(feat_b.astype(x.dtype), flow.astype(jnp.float32),
+                     use_kernel=use_warp_kernel, max_disp=max_disp,
+                     shared_feat=None if shared is None
+                     else shared.astype(x.dtype),
+                     apply_fixup=apply_fixup)
+    ovf = None
+    if not apply_fixup:
+        warped, ovf = warped
+    feat_warp = warped * mask.astype(x.dtype)
     merged = feat_warp + x * (1.0 - mask).astype(x.dtype)
+    if not apply_fixup:
+        return feat_warp, merged, out, flow, ovf
     return feat_warp, merged, out, flow
 
 
@@ -250,7 +258,8 @@ def n_kernel_levels(size: int) -> int:
 
 def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                  blur_kernel=(1, 3, 3, 1), warp_disp=2,
-                 collect_flow_stats: bool = False):
+                 collect_flow_stats: bool = False,
+                 apply_fixup: bool = True):
     """Channels-last synthesis forward — identical math to `synthesis` but
     NHWC end-to-end so the warp kernels run without layout transposes.
 
@@ -265,7 +274,18 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
     the return value (img, flow64, stats) where stats is an int32 vector
     of per-level needed displacements for the kernel levels (coarse
     first) — and re-dispatches with the smallest safe D.
+
+    ``apply_fixup=False`` (optimistic mode; requires collect_flow_stats)
+    skips the kernels' beyond-D fixup conds — a never-taken cond still
+    pays XLA conditional-boundary copies — and returns
+    (img, flow64, stats, ovf_flags) where ovf_flags is an int32 vector of
+    per-kernel-level overflow flags: any flag > 0 means this output is
+    INVALID beyond-D and the caller must re-run with apply_fixup=True
+    (runtime/decode.py's optimistic loop).
     """
+    assert apply_fixup or collect_flow_stats, \
+        "optimistic mode reports flags via the stats return"
+
     b = wa.shape[0]
     log_size = int(math.log2(size))
     n_levels = log_size - 2
@@ -283,6 +303,7 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
     skip_flow = None
     flow64 = None
     flow_stats = []
+    ovf_flags = []
     for lvl in range(n_levels):
         out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True,
                               blur_kernel=blur_kernel)
@@ -295,6 +316,9 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
             lvl_d = warp_disp[int(math.log2(res)) - 7] if res >= 128 else 2
         else:
             lvl_d = warp_disp
+        # fixup-free only for the kernel levels (>=128²): smaller levels
+        # use the exact gather, where apply_fixup only changes arity
+        lvl_fix = apply_fixup or res < 128
         if res == 8:
             out_warp, out, skip_flow, _ = _to_flow_cl(
                 out, wa, feats_cl[lvl], to_flows[str(lvl)],
@@ -303,10 +327,15 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
             skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)],
                               blur_kernel=blur_kernel)
         else:
-            out_warp, out, skip_flow, fl = _to_flow_cl(
+            res_out = _to_flow_cl(
                 out, wa, feats_cl[lvl], to_flows[str(lvl)], skip_flow,
                 use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel,
-                max_disp=lvl_d)
+                max_disp=lvl_d, apply_fixup=lvl_fix)
+            if lvl_fix:
+                out_warp, out, skip_flow, fl = res_out
+            else:
+                out_warp, out, skip_flow, fl, ovf = res_out
+                ovf_flags.append(ovf[0])
             if res == 64:
                 flow64 = fl
             if collect_flow_stats and res >= 128:
@@ -320,6 +349,11 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                               blur_kernel=blur_kernel)
 
     if collect_flow_stats:
-        return skip, flow64, (jnp.stack(flow_stats) if flow_stats
-                              else jnp.zeros((0,), jnp.int32))
+        stats = (jnp.stack(flow_stats) if flow_stats
+                 else jnp.zeros((0,), jnp.int32))
+        if not apply_fixup:
+            flags = (jnp.stack(ovf_flags) if ovf_flags
+                     else jnp.zeros((0,), jnp.int32))
+            return skip, flow64, stats, flags
+        return skip, flow64, stats
     return skip, flow64

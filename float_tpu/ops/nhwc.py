@@ -172,7 +172,7 @@ def grid_sample_bilinear_nhwc(feat, grid):
 
 
 def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
-            shared_feat=None):
+            shared_feat=None, apply_fixup: bool = True):
     """NHWC warp dispatcher.
 
     The decode case (``shared_feat`` (1, H, W, C): one encoder map shared
@@ -181,14 +181,20 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
     window DMA + pre-rotated column slices cached across frames).  Per-frame
     feats use the plain shift kernel at 128²..256²; everything else takes
     the XLA patch gather.  All kernel paths are exact for arbitrary flows
-    via the cond-gather fixup beyond ``max_disp``."""
+    via the cond-gather fixup beyond ``max_disp``.
+
+    ``apply_fixup=False`` (optimistic mode) returns (out, ovf_flag (1,)
+    int32) instead: the beyond-D fixup cond is skipped and the caller
+    re-runs flagged outputs with the fixup (see warp_shared_feat_v2);
+    exact non-kernel paths report flag 0."""
     b, h, w, c = feat.shape
     same_size = grid.shape[1] == h and grid.shape[2] == w
     if (use_kernel and same_size and feat.dtype == jnp.bfloat16
             and shared_feat is not None and h >= 128
             and c <= 128 and h % 8 == 0 and w % 128 == 0):
         from .pallas.shift_warp_v2 import warp_shared_feat_v2
-        return warp_shared_feat_v2(shared_feat, grid, max_disp=max_disp)
+        return warp_shared_feat_v2(shared_feat, grid, max_disp=max_disp,
+                                   apply_fixup=apply_fixup)
     if (use_kernel and same_size and feat.dtype == jnp.bfloat16
             and 128 <= h <= 256 and w >= 128
             and h % 16 == 0 and w % 128 == 0):
@@ -202,13 +208,19 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
                               (0, 0)))
         out = _shift_warp_nhwc(fpad, gy, gx, max_disp)[..., :c]
         overflow = _overflow_mask(h, w, gy, gx, max_disp)
+        if not apply_fixup:
+            flag = jnp.any(overflow).astype(jnp.int32)[None]
+            return out, flag
 
         def fix(o):
             exact = grid_sample_bilinear_nhwc(feat, grid)
             return jnp.where(overflow[..., None], exact, o)
 
         return jax.lax.cond(jnp.any(overflow), fix, lambda o: o, out)
-    return grid_sample_bilinear_nhwc(feat, grid)
+    out = grid_sample_bilinear_nhwc(feat, grid)
+    if not apply_fixup:
+        return out, jnp.zeros((1,), jnp.int32)   # gather path is exact
+    return out
 
 
 def floor_disp_fields(gy, gx, h, w):

@@ -324,10 +324,18 @@ def pick_groups(c: int, b: int) -> int:
 
 
 def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
-                        max_disp: int = 3, tr: int = 8) -> jnp.ndarray:
+                        max_disp: int = 3, tr: int = 8,
+                        apply_fixup: bool = True):
     """Warp ONE shared feature map (1, H, W, C) with B per-frame grids
     (B, H, W, 2) -> (B, H, W, C) NHWC.  Exact for arbitrary flows via the
-    cond-gather fixup beyond ``max_disp``."""
+    cond-gather fixup beyond ``max_disp``.
+
+    ``apply_fixup=False`` is the OPTIMISTIC mode: returns
+    (out, ovf_flag (1,) int32) without the fixup cond — even a never-taken
+    cond costs XLA conditional-boundary copies of the (B, H, W, C)
+    operand (~2-3 ms at 512²).  The caller must treat flag > 0 chunks as
+    invalid and re-run them with apply_fixup=True (runtime/decode.py's
+    optimistic loop does)."""
     from ..nhwc import grid_sample_bilinear_nhwc
     from .shift_warp_kernel import _overflow_mask
 
@@ -354,6 +362,9 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     packed, ovf_flags = _packed_warp_v2(ftile, gyg, gxg, max_disp, groups, tr)
     out = packed.reshape(b // groups, h, w, groups, cg)
     out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, h, w, cg)[..., :c]
+
+    if not apply_fixup:
+        return out, ovf_flags
 
     def fix(o):
         # the per-pixel overflow mask is ONLY computed here — the cond

@@ -29,7 +29,7 @@ from ..models.synthesis import synthesis
 
 def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
-                warp_disp=2, with_stats=False):
+                warp_disp=2, with_stats=False, fixup=True):
     """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8.
 
     channels_last runs the NHWC synthesis path (feats must be NHWC): the
@@ -38,12 +38,26 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
 
     ``warp_disp`` is the static tap bound D of the shift-warp kernels;
     ``with_stats=True`` additionally returns the per-level needed
-    displacements (the adaptive-D probe run on the first chunk).
+    displacements (the adaptive-D ratchet probe).
+
+    ``fixup=False`` is the OPTIMISTIC program (requires with_stats): the
+    warp kernels skip their beyond-D fixup conds (a never-taken cond
+    still pays XLA conditional-boundary copies, ~5 ms/chunk at 512²) and
+    the return gains per-level overflow flags: (img, stats, flags).  Any
+    flag > 0 means the chunk is INVALID beyond-D and must be re-decoded
+    with fixup=True — decode_latents does this after its single
+    post-loop stats sync.
     """
     stats = jnp.zeros((0,), jnp.int32)   # no kernel levels -> no probe
+    flags = jnp.zeros((0,), jnp.int32)
     if channels_last:
         from ..models.synthesis import synthesis_cl
-        if with_stats:
+        if with_stats and not fixup:
+            img, _, stats, flags = synthesis_cl(
+                params, wa_chunk, feats, size, blur_kernel=blur_kernel,
+                warp_disp=warp_disp, collect_flow_stats=True,
+                apply_fixup=False)
+        elif with_stats:
             img, _, stats = synthesis_cl(params, wa_chunk, feats, size,
                                          blur_kernel=blur_kernel,
                                          warp_disp=warp_disp,
@@ -62,12 +76,14 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
         img = jnp.transpose(img, (0, 2, 3, 1))
     if out_u8:
         img = jnp.round(img * 255.0).astype(jnp.uint8)
+    if with_stats and not fixup:
+        return img, stats, flags
     return (img, stats) if with_stats else img
 
 
 _decode_chunk = partial(jax.jit, static_argnames=(
     "size", "out_u8", "channels_last", "blur_kernel", "warp_disp",
-    "with_stats"))(_chunk_core)
+    "with_stats", "fixup"))(_chunk_core)
 
 
 def make_sharded_chunk_fn(mesh):
@@ -83,31 +99,43 @@ def make_sharded_chunk_fn(mesh):
 
     @partial(jax.jit, static_argnames=("size", "out_u8", "channels_last",
                                        "blur_kernel", "warp_disp",
-                                       "with_stats"))
+                                       "with_stats", "fixup"))
     def chunk_fn(params, wa_chunk, feats, size, out_u8=False,
                  channels_last=True, blur_kernel=(1, 3, 3, 1),
-                 warp_disp=DEFAULT_WARP_DISP, with_stats=False):
+                 warp_disp=DEFAULT_WARP_DISP, with_stats=False, fixup=True):
         assert wa_chunk.shape[0] % mesh.size == 0, (
             f"decode_batch {wa_chunk.shape[0]} not divisible by mesh size "
             f"{mesh.size}")
+
+        def _allmax(v):
+            if v.shape[0]:
+                for ax in axes:
+                    v = jax.lax.pmax(v, ax)
+            return v
 
         def body(p, w, f):
             out = _chunk_core(p, w, f, size, out_u8=out_u8,
                               channels_last=channels_last,
                               blur_kernel=blur_kernel, warp_disp=warp_disp,
-                              with_stats=with_stats)
+                              with_stats=with_stats, fixup=fixup)
+            if with_stats and not fixup:
+                img, stats, flags = out
+                return img, _allmax(stats), _allmax(flags)
             if with_stats:
                 img, stats = out
-                if stats.shape[0]:
-                    for ax in axes:
-                        stats = jax.lax.pmax(stats, ax)
-                return img, stats
+                return img, _allmax(stats)
             return out
 
+        if with_stats and not fixup:
+            out_specs = (P(axes), P(), P())
+        elif with_stats:
+            out_specs = (P(axes), P())
+        else:
+            out_specs = P(axes)
         return shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(axes), P()),
-            out_specs=(P(axes), P()) if with_stats else P(axes),
+            out_specs=out_specs,
             check_vma=False,
         )(params, wa_chunk, feats)
 
@@ -157,6 +185,21 @@ def _ratchet_apply_max(size: int, all_stats: list) -> tuple:
     return _ratchet_apply(size, np.asarray(jnp.stack(stats)).max(axis=0))
 
 
+def _sync_stats_flags(size: int, all_stats: list, all_flags: list) -> list:
+    """One post-loop device sync: ratchet the stats, return the indices
+    of chunks whose overflow flags mark them for a fixup re-decode."""
+    import numpy as np
+    if not all_flags or all_flags[0].shape[0] == 0:
+        _ratchet_apply_max(size, all_stats)
+        return []
+    packed = jnp.concatenate(
+        [jnp.stack(all_stats), jnp.stack(all_flags)], axis=1)
+    host = np.asarray(packed)                       # single transfer
+    n_lv = all_stats[0].shape[0]
+    _ratchet_apply(size, host[:, :n_lv].max(axis=0))
+    return [int(ci) for ci in np.nonzero(host[:, n_lv:].any(axis=1))[0]]
+
+
 def _cast_params(params, dtype):
     """Cast the synthesis pytree unless it already matches ``dtype``.
 
@@ -200,29 +243,37 @@ def decode_latents(
     feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
     params_c = _cast_params(synthesis_params, dtype)
 
+    # OPTIMISTIC dispatch: every chunk runs the fixup-free program —
+    # the warp kernels skip their beyond-D conds (a never-taken cond
+    # still costs XLA conditional-boundary copies, ~5 ms/chunk) — and
+    # reports per-level (overflow flags, displacement-bound stats).
+    # Both fold in AFTER the dispatch loop with ONE device sync
+    # (mid-loop polling costs a ~30 ms tunnel round trip per chunk):
+    # flagged chunks are re-decoded with the fixup program (rare — the
+    # monotone ratchet converges to the clip regime's true max D), and
+    # the stats ratchet the next clip's D.
     chunks = []
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
     all_stats = []
+    all_flags = []
     for ci in range(n_chunks):
         wa_c = wa[ci * fb:(ci + 1) * fb]
-        # EVERY chunk reports its flows' displacement bound (a ~1 ms
-        # 4-frame-subset reduction — see synthesis_cl): the monotone
-        # ratchet then converges to the clip's true max, not just chunk
-        # 0's.  Stats are folded in only AFTER the dispatch loop with a
-        # single device sync (mid-loop is_ready polling costs a ~30 ms
-        # tunnel round trip per chunk on the axon transport; measured
-        # +0.5 s/clip).  Exactness never depends on the ratchet — flows
-        # beyond D hit the kernels' cond-gather fixup.
-        chunk, stats = fn(params_c, wa_c, feats_c, size,
-                          blur_kernel=blur_kernel,
-                          warp_disp=disp, with_stats=True)
+        chunk, stats, flags = fn(params_c, wa_c, feats_c, size,
+                                 blur_kernel=blur_kernel,
+                                 warp_disp=disp, with_stats=True,
+                                 fixup=False)
         chunks.append(chunk)
         all_stats.append(stats)
+        all_flags.append(flags)
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
+    redo = _sync_stats_flags(size, all_stats, all_flags)
+    for ci in redo:
+        chunks[ci], _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
+                           size, blur_kernel=blur_kernel,
+                           warp_disp=disp, with_stats=True)
     frames = jnp.concatenate(chunks, axis=0)
-    _ratchet_apply_max(size, all_stats)   # for the next clip
     return frames[:t_frames]
 
 
@@ -258,16 +309,19 @@ def decode_latents_to_host(
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
     all_stats = []
+    all_flags = []
     for ci in range(n_chunks):
         wa_c = wa[ci * fb:(ci + 1) * fb]
-        # every chunk reports stats; ratchet folded post-loop in one sync
-        # (see decode_latents)
-        dev, stats = fn(params_c, wa_c, feats_c, size,
-                        out_u8=uint8_transfer,
-                        blur_kernel=blur_kernel,
-                        warp_disp=disp, with_stats=True)
+        # optimistic fixup-free program; flags + stats folded post-loop
+        # in one sync (see decode_latents)
+        dev, stats, flags = fn(params_c, wa_c, feats_c, size,
+                               out_u8=uint8_transfer,
+                               blur_kernel=blur_kernel,
+                               warp_disp=disp, with_stats=True,
+                               fixup=False)
         pending.append((ci, dev))
         all_stats.append(stats)
+        all_flags.append(flags)
         # keep one chunk in flight: materialize the previous one while the
         # current computes
         if len(pending) > 1:
@@ -276,7 +330,12 @@ def decode_latents_to_host(
             frame_callback(ci, n_chunks)
     for item in pending:
         _drain(item, out, fb, t_frames, uint8_transfer)
-    _ratchet_apply_max(size, all_stats)   # for the next clip
+    # overflowed chunks: re-decode with the fixup program and re-drain
+    for ci in _sync_stats_flags(size, all_stats, all_flags):
+        dev, _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c, size,
+                    out_u8=uint8_transfer, blur_kernel=blur_kernel,
+                    warp_disp=disp, with_stats=True)
+        _drain((ci, dev), out, fb, t_frames, uint8_transfer)
     return out
 
 

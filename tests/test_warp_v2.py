@@ -116,3 +116,36 @@ def test_overflow_mask_matches_needed_disp():
         need = int(flow_needed_disp(grid, h, w))
         if not mask.any():
             assert need <= d
+
+
+def test_optimistic_redecode_splice():
+    """decode_latents re-decodes exactly the flagged chunks with the
+    fixup program and splices them in."""
+    calls = []
+
+    def fake_fn(params, wa_c, feats, size, out_u8=False,
+                channels_last=True, blur_kernel=(1, 3, 3, 1),
+                warp_disp=2, with_stats=False, fixup=True):
+        ci = int(np.asarray(wa_c)[0, 0])
+        calls.append((ci, fixup))
+        img = jnp.full((wa_c.shape[0], 4, 4, 3),
+                       ci * 10 + (0 if fixup else 1), jnp.float32)
+        stats = jnp.asarray([2])
+        flags = jnp.asarray([1 if ci == 2 else 0])
+        if with_stats and not fixup:
+            return img, stats, flags
+        return (img, stats) if with_stats else img
+
+    D._DISP_RATCHET.pop(4, None)
+    r_d = jnp.repeat(jnp.arange(4, dtype=jnp.float32)[:, None], 8, axis=0)
+    frames = D.decode_latents(
+        {}, jnp.zeros((1, 1)), [], r_d.reshape(32, 1)[:, :1] * 0 +
+        jnp.repeat(jnp.arange(4.0), 8)[:, None],
+        size=4, decode_batch=8, chunk_fn=fake_fn)
+    # chunk 2 was flagged: its frames come from the fixup=True pass
+    vals = np.asarray(frames)[:, 0, 0, 0]
+    assert (vals[:16] % 10 == 1).all()        # optimistic outputs
+    assert (vals[16:24] % 10 == 0).all()      # re-decoded chunk
+    assert (vals[24:] % 10 == 1).all()
+    # exactly one fixup call, for chunk 2
+    assert [c for c in calls if c[1]] == [(2, True)]
