@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""On-chip verification of the Pallas warp kernels (run on the real TPU).
+
+The CPU test suite cannot execute Mosaic kernels, so this script is the
+kernel layer's exactness + performance gate.  It checks, on real hardware:
+
+1. exactness of warp_shared_feat_v2 vs the XLA patch-gather oracle across
+   flow amplitudes that exercise the fast4 / fast6 / slow / fixup paths
+   (errors must stay at the bf16 floor, < 6.3e-2),
+2. overflow-flag completeness: at a deliberately small D, the kernel's
+   per-chunk flags must catch every chunk the host-side probe marks
+   (the optimistic decode's correctness hinges on no silent misses),
+3. per-level kernel timings (regression reference in PERF.md).
+
+Usage:  python tools/verify_kernels_on_chip.py [--quick]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np   # noqa: E402
+
+
+def smooth_grid(key, b, h, w, amp_px):
+    import jax
+    import jax.numpy as jnp
+    small = jax.random.normal(key, (b, h // 32, w // 32, 2))
+    small = small / jnp.max(jnp.abs(small)) * amp_px
+    flow = jax.image.resize(small, (b, h, w, 2), "bilinear")
+    ys = jnp.linspace(-1 + 1 / h, 1 - 1 / h, h)
+    xs = jnp.linspace(-1 + 1 / w, 1 - 1 / w, w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ident = jnp.stack([gx, gy], -1)[None]
+    return (ident + flow * jnp.asarray([2.0 / w, 2.0 / h])).astype(jnp.float32)
+
+
+def sync(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true",
+                    help="one amplitude + D per level")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from float_tpu.ops.pallas.shift_warp_v2 import warp_shared_feat_v2
+    from float_tpu.ops.nhwc import grid_sample_bilinear_nhwc, flow_needed_disp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+    b = 16
+    key = jax.random.key(1)
+    failures = 0
+
+    # 1. exactness sweep
+    amps = (1.3,) if args.quick else (0.4, 1.3, 2.6, 5.0)
+    disps = (2,) if args.quick else (2, 3)
+    for (h, c) in [(512, 32), (256, 64), (128, 128)]:
+        feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
+        for amp in amps:
+            grid = smooth_grid(jax.random.fold_in(key, int(amp * 10) + h),
+                               b, h, h, amp)
+            ref = grid_sample_bilinear_nhwc(
+                jnp.broadcast_to(feat, (b,) + feat.shape[1:]), grid)
+            for d in disps:
+                out = warp_shared_feat_v2(feat, grid, max_disp=d)
+                err = float(jnp.max(jnp.abs(
+                    out.astype(jnp.float32) - ref.astype(jnp.float32))))
+                ok = err < 6.3e-2          # bf16 floor vs the mixed oracle
+                failures += not ok
+                print(f"{'OK ' if ok else 'FAIL'} exact {h}²×{c} "
+                      f"amp={amp} D={d}: max|err|={err:.2e}")
+
+    # 2. flag completeness (optimistic-mode contract)
+    h, c, d = 256, 64, 2
+    feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
+    for amp in (1.5, 3.0):
+        grid = smooth_grid(jax.random.fold_in(key, 77 + int(amp)), b, h, h, amp)
+        out, flag = warp_shared_feat_v2(feat, grid, max_disp=d,
+                                        apply_fixup=False)
+        need = int(flow_needed_disp(grid, h, h))
+        flagged = int(flag[0]) > 0
+        ok = flagged == (need > d)
+        failures += not ok
+        print(f"{'OK ' if ok else 'FAIL'} flag amp={amp}: needed={need} "
+              f"D={d} flag={flagged}")
+
+    # 3. timings
+    for (h, c) in [(512, 32), (256, 64), (128, 128)]:
+        feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
+        grid = smooth_grid(jax.random.fold_in(key, h), b, h, h, 1.2)
+        f = jax.jit(lambda ft, g: warp_shared_feat_v2(ft, g, max_disp=2))
+        sync(f(feat, grid))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            y = f(feat, grid)
+        sync(y)
+        print(f"time {h}²×{c} D=2: {(time.perf_counter()-t0)/20*1e3:.2f} ms "
+              f"(16 frames)")
+
+    print(f"\n{'PASS' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
