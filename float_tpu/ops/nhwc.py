@@ -63,6 +63,15 @@ def upfirdn2d_cl(x, kernel, up=1, down=1, pad=(0, 0)):
 # much faster as einsums on the otherwise-idle MXU.
 MXU_BLUR_MAX_C = 15
 
+# fold the up-modulated-conv's post-upsample blur into the conv kernel
+# (one composed 6x6 conv instead of conv + depthwise blur + intermediate).
+# Measured on chip: OFF wins e2e (304.1 vs 276.9 frames/s) — the composed
+# kernel's 4x tap area costs more MXU time than the depthwise blur +
+# intermediate it saves (XLA fuses the two-step form well).  Kept as an
+# exact, test-covered alternative for future hardware where conv FLOPs
+# are cheaper relative to bandwidth.
+FUSE_UP_BLUR = False
+
 
 def upsample2x_cl(x, blur_kernel=(1, 3, 3, 1)):
     """2x upsample.  Low-channel tensors (the 3-channel RGB / raw-flow
@@ -102,6 +111,37 @@ def modulated_conv2d_cl(x, style, weight, mod_weight, mod_bias,
 
     if up:
         wt = jnp.flip(cw, (2, 3))
+        factor = 2
+        p = (len(blur_kernel) - factor) - (kh - 1)
+        pad = ((p + 1) // 2 + factor - 1, p // 2 + 1)
+        if FUSE_UP_BLUR:
+            # fold the post-upsample blur into the transposed-conv kernel:
+            # two successive correlations compose into ONE whose kernel is
+            # the full convolution of the two (pads add) — corr with the
+            # blur's flipped kernel == corr composed with make_blur_kernel
+            # directly.  Kills the (B, 2H+1, 2W+1, C) intermediate + the
+            # depthwise blur pass per up-conv; the demod scalar commutes
+            # with the (linear, per-channel) blur exactly.
+            k2 = make_blur_kernel(blur_kernel, upsample_factor=factor)
+            bk_h, bk_w = k2.shape
+            o_c, i_c = wt.shape[0], wt.shape[1]
+            wt_f = wt.reshape(o_c * i_c, 1, kh, kw).astype(jnp.float32)
+            comp = jax.lax.conv_general_dilated(
+                wt_f, k2.astype(jnp.float32)[None, None], (1, 1),
+                ((bk_h - 1, bk_h - 1), (bk_w - 1, bk_w - 1)),
+                preferred_element_type=jnp.float32)
+            comp = comp.reshape(o_c, i_c, kh + bk_h - 1,
+                                kw + bk_w - 1).astype(x.dtype)
+            out = jax.lax.conv_general_dilated(
+                xm, comp, (1, 1),
+                ((kh - 1 + pad[0], kh - 1 + pad[1]),
+                 (kw - 1 + pad[0], kw - 1 + pad[1])),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "OIHW", "NHWC"),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            if demodulate:
+                out = out * demod.astype(x.dtype)[:, None, None, :]
+            return out
         out = jax.lax.conv_general_dilated(
             xm, wt, (1, 1), ((kh - 1, kh - 1), (kw - 1, kw - 1)),
             lhs_dilation=(2, 2),
@@ -109,9 +149,6 @@ def modulated_conv2d_cl(x, style, weight, mod_weight, mod_bias,
             preferred_element_type=jnp.float32).astype(x.dtype)
         if demodulate:
             out = out * demod.astype(x.dtype)[:, None, None, :]
-        factor = 2
-        p = (len(blur_kernel) - factor) - (kh - 1)
-        pad = ((p + 1) // 2 + factor - 1, p // 2 + 1)
         if out.shape[-1] <= MXU_BLUR_MAX_C:
             from .upfirdn import upfirdn2d_mxu
             return upfirdn2d_mxu(out, blur_kernel, up=1, down=1, pad=pad,

@@ -85,3 +85,31 @@ def test_warp_cl_dispatch_small_uses_gather(rng):
     ref = grid_sample_bilinear(x, jnp.broadcast_to(g, (2, 32, 32, 2)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(_t(ref)),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_up_blur_matches_two_step():
+    """FUSE_UP_BLUR composes the post-upsample blur into the transposed
+    conv kernel; both forms are the same linear operator (measured e2e
+    the two-step form wins on v5e — see ops/nhwc.py)."""
+    import float_tpu.ops.nhwc as NH
+    rng = np.random.default_rng(7)
+    b, c_in, c_out, hw = 2, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c_in)).astype(np.float32))
+    style = jnp.asarray(rng.standard_normal((b, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((1, c_out, c_in, 3, 3)).astype(np.float32))
+    mw = jnp.asarray(rng.standard_normal((c_in, 4)).astype(np.float32))
+    mb = jnp.asarray(rng.standard_normal((c_in,)).astype(np.float32))
+
+    old = NH.FUSE_UP_BLUR
+    try:
+        NH.FUSE_UP_BLUR = False
+        ref = NH.modulated_conv2d_cl(x, style, w, mw, mb, demodulate=True,
+                                     up=True)
+        NH.FUSE_UP_BLUR = True
+        fused = NH.modulated_conv2d_cl(x, style, w, mw, mb, demodulate=True,
+                                       up=True)
+    finally:
+        NH.FUSE_UP_BLUR = old
+    assert ref.shape == fused.shape == (b, 2 * hw, 2 * hw, c_out)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
