@@ -130,6 +130,15 @@ def main():
                 noise=jnp.asarray(acts["noise"]))
             results.append(compare("r_d", r_d, acts["r_d"], *TOLERANCES["r_d"]))
 
+    if "r_d_dyn" in acts and "noise_dyn" in acts:
+        from float_tpu.runtime.sampling import sample_motion_latents
+        r_d_dyn = sample_motion_latents(
+            params["fmt"], r_s, wa, jnp.asarray(acts["we_dyn"]), cfg=cfg,
+            a_cfg_scale=args.a_cfg, e_cfg_scale=args.e_cfg,
+            noise=jnp.asarray(acts["noise_dyn"]))
+        results.append(compare("r_d_dyn", r_d_dyn, acts["r_d_dyn"],
+                               *TOLERANCES["r_d"]))
+
     # decode stages use the RECORDED r_d so decode parity is isolated from
     # sampling drift (which the chaotic random-weight synthesis amplifies)
     if "frames_small" in acts and "r_d_small" in acts:

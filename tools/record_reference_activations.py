@@ -116,6 +116,34 @@ def _install_shims():
         sys.modules["timm.models"] = models
         sys.modules["timm.models.vision_transformer"] = vit
 
+    for name in ("face_alignment", "librosa"):
+        # import-only stubs: nodes_adv's transitive imports hard-require
+        # these at module level, but the sampling loop never calls them
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = _shim_module(name)
+
+    if "seconohe" not in sys.modules:
+        sec = _shim_module("seconohe")
+        sec_torch = _shim_module("seconohe.torch")
+
+        class _NullCtx:
+            def __init__(self, *a, **k):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        sec_torch.model_to_target = _NullCtx
+        sec.torch = sec_torch
+        sys.modules["seconohe"] = sec
+        sys.modules["seconohe.torch"] = sec_torch
+
     try:
         import torchdiffeq  # noqa: F401
     except ImportError:
@@ -212,6 +240,25 @@ def load_reference(ref_root: Path):
     opts_mod = _load("refn.options.base_options",
                      nodes / "options" / "base_options.py", "refn.options")
     return float_mod, opts_mod
+
+
+def load_reference_adv(ref_root: Path):
+    """Also load nodes_adv (the Advanced tier's shared ODE sampling loop,
+    incl. dynamic per-frame emotion bookkeeping).  Requires load_reference
+    to have run (reuses the refn package tree)."""
+    nodes = ref_root / "src" / "nodes"
+    refn = sys.modules["refn"]
+    refn.EMOTIONS = ["none", "angry", "disgust", "fear", "happy",
+                     "neutral", "sad", "surprise"]
+    refn.TORCHDIFFEQ_FIXED_STEP_SOLVERS = ["euler", "midpoint", "rk4",
+                                           "heun2", "heun3"]
+    utils = types.ModuleType("refn.utils")
+    utils.__path__ = [str(nodes / "utils")]
+    sys.modules["refn.utils"] = utils
+    _load("refn.utils.image", nodes / "utils" / "image.py", "refn.utils")
+    _load("refn.resample", nodes / "resample.py", "refn")
+    _load("refn.generate", nodes / "generate.py", "refn")
+    return _load("refn.nodes_adv", nodes / "nodes_adv.py", "refn")
 
 
 def build_model(ref_root: Path, seed: int):
@@ -355,6 +402,42 @@ def main():
         # chaotically conditioned (measured: torch f32 vs f64 differ by
         # ~0.15 on the worst frame), so full-scale frames are judged
         # relative to this floor rather than an absolute tolerance.
+        # dynamic per-frame emotion sampling parity: drive the reference's
+        # shared ODE loop (nodes_adv._perform_ode_sampling_loop — the
+        # Advanced/VA sampler with per-chunk we slicing + prev_we carry)
+        adv = load_reference_adv(Path(args.reference))
+        g2 = torch.Generator().manual_seed(args.seed + 2)
+        we_dyn = torch.softmax(
+            torch.randn(1, t_frames, opt.dim_e, generator=g2) * 1.5, dim=-1)
+        out["we_dyn"] = we_dyn.numpy()
+        noise_gen = torch.Generator().manual_seed(args.seed)
+        noises_dyn = []
+
+        def randn_capture2(*a, **k):
+            x = real_randn(*a, **k)
+            noises_dyn.append(x.detach().cpu().numpy())
+            return x
+
+        torch.randn = randn_capture2
+        try:
+            r_d_dyn = adv._perform_ode_sampling_loop(
+                fmt_model=model.fmt, r_s_latent_dev=r_s,
+                wa_latent_dev=wa, we_latent_dev=we_dyn,
+                audio_num_frames=t_frames,
+                model_num_prev_frames=model.num_prev_frames,
+                model_num_frames_for_clip=model.num_frames_for_clip,
+                model_dim_w=opt.dim_w,
+                ode_nfe=args.nfe, ode_method="euler",
+                ode_atol=opt.ode_atol, ode_rtol=opt.ode_rtol,
+                target_device=torch.device("cpu"),
+                a_cfg_scale=args.a_cfg, r_cfg_scale=1.0,
+                e_cfg_scale=args.e_cfg, include_r_cfg=False,
+                noise_seed_generator=noise_gen)
+        finally:
+            torch.randn = real_randn
+        out["noise_dyn"] = np.stack(noises_dyn)
+        out["r_d_dyn"] = r_d_dyn.numpy()
+
         m64 = model.to(torch.float64)
         feats64 = [f.double() for f in feats]
         frames64 = m64.decode_latent_into_processed_images(
