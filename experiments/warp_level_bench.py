@@ -19,23 +19,11 @@ from float_tpu.ops.nhwc import grid_sample_bilinear_nhwc
 B = 16
 
 
+from tools.verify_kernels_on_chip import smooth_grid as _sg, sync
+
+
 def smooth_grid(key, h, w, amp_px):
-    """Identity grid + smooth flow with max displacement EXACTLY amp_px
-    (so a given D never triggers the exact-gather fixup)."""
-    ky, kx = jax.random.split(key)
-    small = jax.random.normal(ky, (B, h // 32, w // 32, 2))
-    small = small / jnp.max(jnp.abs(small)) * amp_px
-    flow = jax.image.resize(small, (B, h, w, 2), "bilinear")
-    ys = jnp.linspace(-1 + 1 / h, 1 - 1 / h, h)
-    xs = jnp.linspace(-1 + 1 / w, 1 - 1 / w, w)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    ident = jnp.stack([gx, gy], -1)[None]
-    scale = jnp.asarray([2.0 / w, 2.0 / h])
-    return (ident + flow * scale).astype(jnp.float32)
-
-
-def sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+    return _sg(key, B, h, w, amp_px)
 
 
 def bench(fn, *args, n=30):

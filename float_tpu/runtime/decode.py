@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 from ..models.synthesis import synthesis
 
+import logging
+
+logger = logging.getLogger("float_tpu.decode")
+
 
 def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
@@ -48,6 +52,9 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
     with fixup=True — decode_latents does this after its single
     post-loop stats sync.
     """
+    assert fixup or with_stats, \
+        "the optimistic (fixup=False) program reports overflow flags via " \
+        "the stats return; call it with with_stats=True"
     stats = jnp.zeros((0,), jnp.int32)   # no kernel levels -> no probe
     flags = jnp.zeros((0,), jnp.int32)
     if channels_last:
@@ -269,6 +276,12 @@ def decode_latents(
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
     redo = _sync_stats_flags(size, all_stats, all_flags)
+    if redo:
+        # rare: flows exceeded the ratcheted D this clip (the ratchet just
+        # grew for the next one).  First occurrence per process compiles
+        # the fixup chunk program — a one-time stall on this transport.
+        logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
+                    "program", len(redo), n_chunks)
     for ci in redo:
         chunks[ci], _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
                            size, blur_kernel=blur_kernel,
@@ -331,7 +344,11 @@ def decode_latents_to_host(
     for item in pending:
         _drain(item, out, fb, t_frames, uint8_transfer)
     # overflowed chunks: re-decode with the fixup program and re-drain
-    for ci in _sync_stats_flags(size, all_stats, all_flags):
+    redo = _sync_stats_flags(size, all_stats, all_flags)
+    if redo:
+        logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
+                    "program", len(redo), n_chunks)
+    for ci in redo:
         dev, _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c, size,
                     out_u8=uint8_transfer, blur_kernel=blur_kernel,
                     warp_disp=disp, with_stats=True)

@@ -102,14 +102,21 @@ def test_fused_up_blur_matches_two_step():
 
     old = NH.FUSE_UP_BLUR
     try:
-        NH.FUSE_UP_BLUR = False
-        ref = NH.modulated_conv2d_cl(x, style, w, mw, mb, demodulate=True,
-                                     up=True)
-        NH.FUSE_UP_BLUR = True
-        fused = NH.modulated_conv2d_cl(x, style, w, mw, mb, demodulate=True,
-                                       up=True)
+        # the ASYMMETRIC kernel pins the correlation-composition direction
+        # (upfirdn flips its kernel internally, so corr(wt, k2) is the
+        # correct composed kernel — a flip error would mirror the blur)
+        for bk in ((1, 3, 3, 1), (1, 2, 4, 1)):
+            NH.FUSE_UP_BLUR = False
+            ref = NH.modulated_conv2d_cl(x, style, w, mw, mb,
+                                         demodulate=True, up=True,
+                                         blur_kernel=bk)
+            NH.FUSE_UP_BLUR = True
+            fused = NH.modulated_conv2d_cl(x, style, w, mw, mb,
+                                           demodulate=True, up=True,
+                                           blur_kernel=bk)
+            assert ref.shape == fused.shape == (b, 2 * hw, 2 * hw, c_out)
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                       atol=2e-4, rtol=2e-4,
+                                       err_msg=f"blur_kernel={bk}")
     finally:
         NH.FUSE_UP_BLUR = old
-    assert ref.shape == fused.shape == (b, 2 * hw, 2 * hw, c_out)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
-                               atol=2e-4, rtol=2e-4)

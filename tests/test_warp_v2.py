@@ -149,3 +149,33 @@ def test_optimistic_redecode_splice():
     assert (vals[24:] % 10 == 1).all()
     # exactly one fixup call, for chunk 2
     assert [c for c in calls if c[1]] == [(2, True)]
+
+
+def test_optimistic_redecode_to_host():
+    """decode_latents_to_host re-decodes flagged chunks with the fixup
+    program and re-drains them into the host buffer — including the
+    uint8 wire scaling and last-chunk truncation."""
+    def fake_fn(params, wa_c, feats, size, out_u8=False,
+                channels_last=True, blur_kernel=(1, 3, 3, 1),
+                warp_disp=2, with_stats=False, fixup=True):
+        ci = int(np.asarray(wa_c)[0, 0])
+        val = ci * 10 + (0 if fixup else 1)
+        img = jnp.full((wa_c.shape[0], 4, 4, 3), val, jnp.float32)
+        if out_u8:
+            img = img.astype(jnp.uint8)
+        stats = jnp.asarray([2])
+        flags = jnp.asarray([1 if ci == 1 else 0])
+        if with_stats and not fixup:
+            return img, stats, flags
+        return (img, stats) if with_stats else img
+
+    from float_tpu.runtime.decode import decode_latents_to_host
+    r_d = jnp.repeat(jnp.arange(3.0), 8)[:, None][:20]   # 20 frames, 3 chunks
+    out = decode_latents_to_host(
+        {}, jnp.zeros((1, 1)), [], r_d, size=4, decode_batch=8,
+        uint8_transfer=True, chunk_fn=fake_fn)
+    assert out.shape == (20, 4, 4, 3)
+    vals = out[:, 0, 0, 0] * 255.0          # undo the uint8 wire scaling
+    assert np.allclose(vals[:8], 1)         # optimistic chunk 0
+    assert np.allclose(vals[8:16], 10)      # chunk 1 re-decoded (fixup)
+    assert np.allclose(vals[16:], 21)       # truncated last chunk, optimistic
