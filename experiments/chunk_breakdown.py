@@ -1,0 +1,118 @@
+"""Per-op breakdown of ONE 512² decode chunk via jax.profiler.
+
+PERF.md: profiler tracing distorts e2e ~3x on the axon transport — use
+the numbers RELATIVELY (share of chunk time per op class), never as
+absolute throughput.  Also prints un-traced chunk wall time for scale.
+
+Usage: python experiments/chunk_breakdown.py [--trace-dir /tmp/trace]
+"""
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_chunk():
+    from float_tpu.config import FloatConfig
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline, audio_num_frames
+
+    cfg = FloatConfig(compute_dtype="bfloat16", decode_batch=16)
+    pipe = build_synthetic_pipeline(cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, 3, 512, 512)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((1, 160000)).astype(np.float32) * 0.1)
+    t = audio_num_frames(160000, cfg)
+    s_r, _lam, feats, r_s = pipe.encode_image(img)
+    wa = pipe.encode_audio(wave, t)
+    we = pipe.emotion_latent(wave, "none")
+    r_d = pipe.sample(r_s, wa, we, seed=15)[0]
+
+    from float_tpu.runtime import decode as D
+    dtype = jnp.bfloat16
+    wa_full = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dtype)
+    feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
+    params_c = pipe._syn_cast
+    disp = D._ratchet_get(512)
+    print("ratchet D:", disp)
+
+    def chunk(wa_c):
+        return D._decode_chunk(params_c, wa_c, feats_c, 512,
+                               warp_disp=disp, with_stats=True, fixup=False)
+
+    return chunk, wa_full, cfg
+
+
+def parse_trace(trace_dir):
+    """Aggregate device op times from the xplane-exported trace.json.gz."""
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        print("no trace.json.gz found under", trace_dir)
+        return
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device lanes: pid names containing "TPU" and "XLA Ops"-style tids
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "tpu" in n}
+    agg = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        dur = e.get("dur", 0) / 1e3          # us -> ms
+        base = name.split(".")[0].split("(")[0]
+        agg[base] += dur
+        total += dur
+    print(f"\n== device op classes ({os.path.basename(path)}) ==")
+    for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{ms:9.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {name}")
+    print(f"{total:9.2f} ms  total device (traced, distorted)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default="/tmp/chunk_trace")
+    ap.add_argument("--chunks", type=int, default=8)
+    args = ap.parse_args()
+
+    chunk, wa_full, cfg = build_chunk()
+    fb = cfg.decode_batch
+
+    # warm both programs + ratchet
+    outs = [chunk(wa_full[i * fb:(i + 1) * fb]) for i in range(3)]
+    float(jnp.sum(outs[-1][0][0, 0, 0].astype(jnp.float32)))
+
+    # untraced wall time (chained, one sync)
+    t0 = time.perf_counter()
+    res = None
+    for i in range(args.chunks):
+        res = chunk(wa_full[(i % 15) * fb:((i % 15) + 1) * fb])
+    float(jnp.sum(res[0][0, 0, 0].astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / args.chunks
+    print(f"untraced chunk: {dt*1e3:.1f} ms  "
+          f"({fb/dt:.0f} frames/s decode-only)")
+
+    with jax.profiler.trace(args.trace_dir):
+        for i in range(4):
+            res = chunk(wa_full[(i % 15) * fb:((i % 15) + 1) * fb])
+        float(jnp.sum(res[0][0, 0, 0].astype(jnp.float32)))
+    parse_trace(args.trace_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,12 @@ def load_float_models(model: str = "FLOAT.safetensors",
     float_dir = os.path.dirname(path) or "."
     fe = DEFAULT_FE   # the bundled preprocessor_config.json settings
 
+    # warp flow profile (written by tools/readiness_check.py): seeds the
+    # decode ratchet so the first clip already runs the converged
+    # optimistic programs
+    from ..runtime.decode import load_warp_profile
+    load_warp_profile(os.path.join(float_dir, "warp_profile.json"))
+
     if model.lower().endswith(".pth"):
         # legacy layout: float.pth + two HF dirs (reference: nodes.py:66-94)
         w2v_dir, ser_dir = _legacy_wav2vec_dirs(models_root, float_dir)
@@ -166,11 +172,18 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
                   a_cfg_scale: float = 2.0, e_cfg_scale: float = 1.0,
                   fps: float = 25.0, emotion: str = "none",
                   face_align: bool = False, seed: int = 15,
+                  progress=None,
                   ) -> Tuple[np.ndarray, AudioLike, float]:
     """FloatProcessOpt: full pipeline with image/audio batch broadcasting.
 
     (reference: nodes.py:146-222 — pairs up to max(B_img, B_aud) items with
     last-element repeat, per-item seed+i, concatenates all frames.)
+
+    Unlike the reference's serial pair loop (nodes.py:189-211), all
+    clips' decode chunks share one dispatch stream with a single
+    post-loop sync (runtime.decode.decode_clips_to_host) — the device
+    never idles between clips.  ``progress(stage, i, n)`` reports
+    per-clip encode/sample dispatch and per-chunk decode completion.
     """
     pipe = float_pipe.pipeline
     cfg = float_pipe.cfg.replace(fps=fps)
@@ -180,7 +193,7 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
     waves = _audio_to_waves(ref_audio, cfg.sampling_rate)
     n = max(img.shape[0], len(waves))
 
-    all_frames = []
+    clips = []
     used_audio_idx = []
     for i in range(n):
         im = img[min(i, img.shape[0] - 1)]
@@ -198,9 +211,20 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
         we = pipe.emotion_latent(wave_n, emotion)
         r_d = pipe.sample(r_s, wa, we, seed=seed + i,
                           a_cfg_scale=a_cfg_scale, e_cfg_scale=e_cfg_scale)
-        # streamed host transfer: uint8 on the wire, chunk transfers
-        # overlap decode compute (long-clip friendly)
-        all_frames.append(pipe.decode_to_host(s_r, feats, r_d))
+        clips.append((s_r, feats, r_d[0]))
+        if progress is not None:
+            progress("sample", i + 1, n)
+    # streamed host transfer: uint8 on the wire, chunk transfers overlap
+    # decode compute; one optimistic dispatch stream across ALL clips
+    from ..runtime.decode import decode_clips_to_host
+    cb = None
+    if progress is not None:
+        cb = lambda i, nn: progress("decode", i + 1, nn)  # noqa: E731
+    all_frames = decode_clips_to_host(
+        pipe._syn_cast, clips,
+        size=cfg.input_size, decode_batch=cfg.decode_batch,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+        chunk_fn=pipe._chunk_fn, frame_callback=cb)
 
     # batch > 1 returns the concatenated *used* audio so downstream video
     # muxing lines up with the frame concat (reference: nodes.py:213-222)
@@ -369,9 +393,14 @@ def float_sample_motion_sequence(float_pipe: FloatPipe, r_s, wa, we,
 def float_decode_latents_to_images(float_pipe: FloatPipe,
                                    appearance_pipe: AppearancePipe,
                                    r_d: jnp.ndarray, fps: float = 25.0,
+                                   progress=None,
                                    ) -> Tuple[np.ndarray, float]:
     """FloatDecodeLatentsToImages -> (IMAGE (B*T,H,W,C), fps)
-    (reference: nodes_adv.py:823-930 — per-batch-item streamed decode)."""
+    (reference: nodes_adv.py:823-930 — per-batch-item streamed decode;
+    here all batch items share ONE dispatch stream + post-loop sync,
+    runtime.decode.decode_clips_to_host).  ``progress(stage, i, n)``
+    fires per decode chunk as its bytes reach the host."""
+    from ..runtime.decode import decode_clips_to_host
     cfg = float_pipe.cfg
     b = appearance_pipe.h_source.shape[0]
     if r_d.ndim != 3:
@@ -380,14 +409,17 @@ def float_decode_latents_to_images(float_pipe: FloatPipe,
         raise ValueError(
             f"batch mismatch: appearance pipe has {b} items, r_d has "
             f"{r_d.shape[0]} (reference: nodes_adv.py:855-872)")
-    outs = []
-    for i in range(b):
-        feats_i = [f[i:i + 1] for f in appearance_pipe.feats]
-        outs.append(decode_latents_to_host(
-            float_pipe.pipeline._syn_cast,
-            appearance_pipe.h_source[i:i + 1], feats_i, r_d[i],
-            size=cfg.input_size, decode_batch=cfg.decode_batch,
-            compute_dtype=jnp.dtype(cfg.compute_dtype)))
+    clips = [(appearance_pipe.h_source[i:i + 1],
+              [f[i:i + 1] for f in appearance_pipe.feats], r_d[i])
+             for i in range(b)]
+    cb = None
+    if progress is not None:
+        cb = lambda i, n: progress("decode", i + 1, n)  # noqa: E731
+    outs = decode_clips_to_host(
+        float_pipe.pipeline._syn_cast, clips,
+        size=cfg.input_size, decode_batch=cfg.decode_batch,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+        chunk_fn=float_pipe.pipeline._chunk_fn, frame_callback=cb)
     return np.concatenate(outs, axis=0), fps
 
 
@@ -544,9 +576,16 @@ def extract_emotion(emotion_pipe: EmotionModelPipe,
     if ref_audio is None:
         raise ValueError("emotion='none' requires audio")
     waves = _audio_to_waves(ref_audio, emotion_pipe.fe.sampling_rate)
-    batch = extract_features(waves, emotion_pipe.fe)
+    batch, mask = extract_features(waves, emotion_pipe.fe, return_mask=True)
+    # xlsr-style SER configs set return_attention_mask=true: the extractor
+    # mask shapes the encoder pass (reference: wav2vec2_ser.py:77-86 +
+    # nodes_vadv.py:229-252); mask-free configs pass None (same program
+    # as before — an all-ones mask would still change fusion)
+    am = (jnp.asarray(mask) if emotion_pipe.fe.return_attention_mask
+          else None)
     return _predict_emotion(emotion_pipe.params, jnp.asarray(batch),
-                            emotion_pipe.config)[:, None, :]
+                            emotion_pipe.config,
+                            attention_mask=am)[:, None, :]
 
 
 def extract_emotion_dynamic(emotion_pipe: EmotionModelPipe,

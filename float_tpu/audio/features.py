@@ -77,21 +77,36 @@ def normalize_waveform(wave: np.ndarray,
 
 
 def extract_features(waves: Sequence[np.ndarray],
-                     fe: Optional[FeatureExtractorConfig] = None) -> np.ndarray:
+                     fe: Optional[FeatureExtractorConfig] = None,
+                     return_mask: bool = False):
     """Batch of (N_i,) -> (B, N_max) padded + normalized input_values.
 
-    Matches Wav2Vec2FeatureExtractor(..., padding=True) with
-    return_attention_mask=false: items are padded FIRST (with
-    ``padding_value``) and normalization — when ``do_normalize`` — runs
-    over the padded signal, pad values included.
+    Matches Wav2Vec2FeatureExtractor(..., padding=True) in BOTH modes:
+
+    - return_attention_mask=false (the bundled base config): items are
+      padded FIRST (with ``padding_value``) and normalization — when
+      ``do_normalize`` — runs over the padded signal, pad values included;
+    - return_attention_mask=true (xlsr-style SER configs): each item is
+      normalized over its OWN samples, THEN padded — the attention mask
+      marks the real samples (HF normalizes before padding in this mode).
+
+    ``return_mask=True`` additionally returns the (B, N_max) int32
+    attention mask (all-ones when the config doesn't use masks).
     """
     fe = fe or DEFAULT_FE
     n_max = max(len(w) for w in waves)
     out = np.full((len(waves), n_max), fe.padding_value, np.float32)
+    mask = np.zeros((len(waves), n_max), np.int32)
     for i, w in enumerate(waves):
-        if fe.padding_side == "left":
-            out[i, n_max - len(w):] = w
-        else:
-            out[i, :len(w)] = w
-        out[i] = normalize_waveform(out[i], fe)
+        if fe.return_attention_mask:
+            w = normalize_waveform(w, fe)
+        sl = (slice(n_max - len(w), None) if fe.padding_side == "left"
+              else slice(None, len(w)))
+        out[i, sl] = w
+        mask[i, sl] = 1
+        if not fe.return_attention_mask:
+            out[i] = normalize_waveform(out[i], fe)
+            mask[i] = 1
+    if return_mask:
+        return out, mask
     return out

@@ -47,11 +47,58 @@ def load_image_file(path: str):
     return raw.astype(np.float32) / 255.0
 
 
+def make_cli_progress(enabled: bool = True):
+    """A ``progress(stage, i, n)`` callback rendering tqdm bars per stage
+    when stderr is a tty, plain log lines otherwise."""
+    if not enabled:
+        return None
+    state = {"bar": None, "stage": None}
+    use_tqdm = sys.stderr.isatty()
+
+    def progress(stage, i, n):
+        if not use_tqdm:
+            if n > 1 or stage not in ("decode", "sample"):
+                logging.getLogger("float_tpu.cli").info(
+                    "%s %d/%s", stage, i, n if n > 0 else "?")
+            return
+        from tqdm import tqdm
+        if stage != state["stage"]:
+            if state["bar"] is not None:
+                state["bar"].close()
+            state["bar"] = tqdm(total=(n if n > 0 else None), desc=stage,
+                                leave=False, unit="step")
+            state["stage"] = stage
+        bar = state["bar"]
+        bar.n = i
+        bar.refresh()
+        if n > 0 and i >= n and stage == "decode":
+            bar.close()
+            state["bar"] = None
+            state["stage"] = None
+
+    return progress
+
+
+def _load_audio_file(path: str):
+    import numpy as np
+    from .audio.resample import resample, to_mono
+    import wave as wavmod
+    if path.endswith(".npy"):
+        audio_arr, sr = np.load(path), 16000
+    else:
+        with wavmod.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = np.frombuffer(w.readframes(n), dtype=np.int16)
+            ch = w.getnchannels()
+            audio_arr = raw.reshape(-1, ch).T.astype(np.float32) / 32768.0
+    return resample(to_mono(audio_arr), sr, 16000)
+
+
 def cmd_generate(args):
     import numpy as np
-    import cv2
     from .api.nodes import load_float_models, float_process
-    from .audio.resample import resample, to_mono
+    from .io.video import write_video
 
     pipe = load_float_models(args.checkpoint,
                              advanced_float_options=(
@@ -59,40 +106,62 @@ def cmd_generate(args):
                                  if args.adv_options else None),
                              allow_synthetic=args.allow_synthetic)
     img = load_image_file(args.image)
+    mono = _load_audio_file(args.audio)
+    progress = make_cli_progress(not args.no_progress)
 
-    import wave as wavmod
-    if args.audio.endswith(".npy"):
-        audio_arr, sr = np.load(args.audio), 16000
+    if args.stream:
+        # streaming mode: frames are written (and the mp4 grows) while the
+        # device still samples/decodes later chunks; first-frame latency
+        # is printed separately from throughput
+        from .api.nodes import comfy_image_to_model_input, normalize_waveform
+        import jax.numpy as jnp
+        cfg = pipe.cfg.replace(fps=args.fps)
+        model_in, _ = comfy_image_to_model_input(
+            img, cfg.input_size, cfg.rgba_conversion, cfg.bkg_color_hex,
+            face_align=args.face_align, face_margin=cfg.face_margin)
+        wave_n = jnp.asarray(normalize_waveform(mono, pipe.fe)[None])
+        t0 = time.perf_counter()
+        first = [None]
+
+        def chunks():
+            total = 0
+            for start, frames in pipe.pipeline.generate_stream(
+                    jnp.asarray(model_in), wave_n, emotion=args.emotion,
+                    seed=args.seed, a_cfg_scale=args.a_cfg_scale,
+                    e_cfg_scale=args.e_cfg_scale, progress=progress):
+                if first[0] is None:
+                    first[0] = time.perf_counter() - t0
+                total += frames.shape[0]
+                yield frames
+            chunks.total = total
+
+        if args.output.endswith(".npy"):
+            all_chunks = list(chunks())
+            frames_cat = np.concatenate(all_chunks, axis=0)
+            np.save(args.output, frames_cat)
+            n_frames = frames_cat.shape[0]
+        else:
+            write_video(args.output, chunks(), args.fps,
+                        audio=mono, sample_rate=16000)
+            n_frames = chunks.total
+        dt = time.perf_counter() - t0
+        print(f"generated {n_frames} frames in {dt:.2f}s "
+              f"({n_frames/dt:.1f} fps); first frames after {first[0]:.2f}s")
     else:
-        with wavmod.open(args.audio, "rb") as w:
-            sr = w.getframerate()
-            n = w.getnframes()
-            raw = np.frombuffer(w.readframes(n), dtype=np.int16)
-            ch = w.getnchannels()
-            audio_arr = raw.reshape(-1, ch).T.astype(np.float32) / 32768.0
-    mono = resample(to_mono(audio_arr), sr, 16000)
-
-    t0 = time.perf_counter()
-    frames, _, fps = float_process(
-        img[None], mono[None], pipe,
-        a_cfg_scale=args.a_cfg_scale, e_cfg_scale=args.e_cfg_scale,
-        fps=args.fps, emotion=args.emotion, face_align=args.face_align,
-        seed=args.seed)
-    dt = time.perf_counter() - t0
-    print(f"generated {frames.shape[0]} frames in {dt:.2f}s "
-          f"({frames.shape[0]/dt:.1f} fps)")
-
-    if args.output.endswith(".npy"):
-        import numpy as np
-        np.save(args.output, frames)
-    else:
-        h, w = frames.shape[1:3]
-        vw = cv2.VideoWriter(args.output, cv2.VideoWriter_fourcc(*"mp4v"),
-                             args.fps, (w, h))
-        for f in frames:
-            vw.write(cv2.cvtColor((f * 255).astype(np.uint8),
-                                  cv2.COLOR_RGB2BGR))
-        vw.release()
+        t0 = time.perf_counter()
+        frames, _, fps = float_process(
+            img[None], mono[None], pipe,
+            a_cfg_scale=args.a_cfg_scale, e_cfg_scale=args.e_cfg_scale,
+            fps=args.fps, emotion=args.emotion, face_align=args.face_align,
+            seed=args.seed, progress=progress)
+        dt = time.perf_counter() - t0
+        print(f"generated {frames.shape[0]} frames in {dt:.2f}s "
+              f"({frames.shape[0]/dt:.1f} fps)")
+        if args.output.endswith(".npy"):
+            np.save(args.output, frames)
+        else:
+            write_video(args.output, frames, args.fps,
+                        audio=mono, sample_rate=16000)
     print(f"wrote {args.output}")
 
 
@@ -135,7 +204,8 @@ def cmd_workflow(args):
     from .runtime.workflow import run_workflow
     with open(args.config) as f:
         wf = json.load(f)
-    run_workflow(wf, output=args.output)
+    run_workflow(wf, output=args.output,
+                 progress=make_cli_progress())
 
 
 def main(argv=None):
@@ -162,6 +232,11 @@ def main(argv=None):
     g.add_argument("--allow-synthetic", action="store_true",
                    help="run with random weights when the checkpoint is "
                         "missing (testing only)")
+    g.add_argument("--stream", action="store_true",
+                   help="write frames as they decode (low first-frame "
+                        "latency; the mp4 grows during generation)")
+    g.add_argument("--no-progress", action="store_true",
+                   help="disable the progress bars / progress log lines")
     g.set_defaults(func=cmd_generate)
 
     i = sub.add_parser("inspect", help="show checkpoint structure + arch")

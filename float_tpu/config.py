@@ -92,6 +92,13 @@ class FloatConfig:
     param_dtype: str = "float32"         # storage precision of weights
     decode_batch: int = 8                # frames decoded per Synthesis forward
     use_pallas: bool = True              # enable Pallas kernels where available
+    # SER memory bound: clips longer than this predict emotion over
+    # fixed-length windows (scores averaged, weighted by window length) —
+    # the full-clip wav2vec2-large attention is O(T²) and a 5-min clip
+    # would need ~hundreds of GB of logits.  The reference runs the SER
+    # unchunked (FLOAT.py:397) but its own dynamic-emotion node shows the
+    # windowed pattern (nodes_vadv.py:738-844).
+    ser_max_sec: float = 60.0
 
     # --- derived ---
     @property

@@ -55,6 +55,10 @@ def detect_faces(img: np.ndarray,
     try:
         return det(img)
     except ImportError:
+        if detector is not None:
+            # a custom detector's own import failure is a real error, not
+            # "face_alignment is missing" — surface it unchanged
+            raise
         if allow_fallback:
             logger.warning("face_alignment not installed; using the "
                            "no-face center-crop path")

@@ -211,10 +211,12 @@ def _to_rgb_cl(x, p, skip=None, blur_kernel=(1, 3, 3, 1)):
 
 
 def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
-                blur_kernel=(1, 3, 3, 1), max_disp=2, apply_fixup=True):
+                blur_kernel=(1, 3, 3, 1), max_disp=2, apply_fixup=True,
+                warp_path="auto"):
     # max_disp: static tap bound D of the shift-warp kernels at this level;
     # apply_fixup=False = optimistic mode (returns a 5th element: the
-    # beyond-D overflow flag; see ops.nhwc.warp_cl)
+    # [beyond-D overflow, max spread] flags; see ops.nhwc.warp_cl);
+    # warp_path: trace-time fast-path selection for the v2 kernel levels
     from ..ops.nhwc import modulated_conv2d_cl, upsample2x_cl, warp_cl
     out = modulated_conv2d_cl(
         x, style,
@@ -240,7 +242,7 @@ def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
                      use_kernel=use_warp_kernel, max_disp=max_disp,
                      shared_feat=None if shared is None
                      else shared.astype(x.dtype),
-                     apply_fixup=apply_fixup)
+                     apply_fixup=apply_fixup, path=warp_path)
     ovf = None
     if not apply_fixup:
         warped, ovf = warped
@@ -251,6 +253,69 @@ def _to_flow_cl(x, style, feat, p, skip=None, use_warp_kernel=True,
     return feat_warp, merged, out, flow
 
 
+def _to_flow_rgb_packed_cl(x, style, feat, p_flow, p_rgb, skip_flow,
+                           skip_rgb, blur_kernel=(1, 3, 3, 1), max_disp=2,
+                           warp_path="auto"):
+    """Fused LAST-level ToFlow+ToRGB consuming the warp kernel's packed
+    lane layout (optimistic mode only).
+
+    At the final level the merged feature is dead — the only warp
+    consumer is ToRGB, whose 1×1 conv is pointwise-linear over channels:
+    conv(warped · mask) == mask · conv(warped), and on the frame-lane-
+    packed (B/groups, H, W, 128) kernel output it is a BLOCK-DIAGONAL
+    matmul (kron(I_groups, W_rgb)).  So the full-resolution lane-unpack
+    relayout (profiled ~8 ms/chunk at 512², as costly as the warp
+    kernels) is skipped and only the 3-channel RGB is unpacked.
+
+    Returns (rgb, flow_pred_out, flow, flags) — same flow contract as
+    _to_flow_cl; math identical to _to_flow_cl + _to_rgb_cl
+    (reference: styledecoder.py:368-425, composition at :517-529).
+    """
+    from ..ops.nhwc import (modulated_conv2d_cl, upsample2x_cl,
+                            fused_leaky_relu_cl)
+    from ..ops.pallas.shift_warp_v2 import warp_shared_feat_v2_packed
+
+    out = modulated_conv2d_cl(
+        x, style,
+        p_flow["conv"]["weight"],
+        p_flow["conv"]["modulation"]["weight"],
+        p_flow["conv"]["modulation"]["bias"],
+        demodulate=False,
+    )
+    out = out + p_flow["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
+    if skip_flow is not None:
+        out = out + upsample2x_cl(skip_flow, blur_kernel)
+
+    size = x.shape[1]
+    grid = identity_grid(size, dtype=jnp.float32)[None]
+    sampler = jnp.tanh(out[..., 0:2].astype(jnp.float32))
+    mask = jax.nn.sigmoid(out[..., 2:3].astype(jnp.float32))
+    flow = sampler + grid
+
+    packed, flags, groups = warp_shared_feat_v2_packed(
+        feat.astype(x.dtype), flow.astype(jnp.float32),
+        max_disp=max_disp, path=warp_path)
+
+    b = x.shape[0]
+    c = feat.shape[-1]
+    cg = 128 // groups
+    w0 = p_rgb["conv"]["0"]["weight"].astype(jnp.float32)   # (3, C, 1, 1)
+    wk = w0[:, :, 0, 0] * (1.0 / math.sqrt(c))              # equalized scale
+    if cg != c:
+        wk = jnp.pad(wk, ((0, 0), (0, cg - c)))
+    wblk = jnp.kron(jnp.eye(groups, dtype=jnp.float32), wk)  # (3g, 128)
+    rgb_p = jnp.einsum("bhwk,ok->bhwo", packed, wblk.astype(packed.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    rgb = rgb_p.reshape(b // groups, size, size, groups, 3)
+    rgb = jnp.transpose(rgb, (0, 3, 1, 2, 4)).reshape(b, size, size, 3)
+    rgb = rgb * mask.astype(x.dtype)
+    rgb = fused_leaky_relu_cl(rgb, p_rgb["conv"]["1"]["bias"].reshape(-1))
+    rgb = rgb + p_rgb["bias"].reshape(1, 1, 1, 3).astype(rgb.dtype)
+    if skip_rgb is not None:
+        rgb = rgb + upsample2x_cl(skip_rgb, blur_kernel)
+    return rgb, out, flow, flags
+
+
 def n_kernel_levels(size: int) -> int:
     """How many synthesis levels (>=128²) route to the shift-warp kernels."""
     return max(0, int(math.log2(size)) - 6)
@@ -259,7 +324,7 @@ def n_kernel_levels(size: int) -> int:
 def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                  blur_kernel=(1, 3, 3, 1), warp_disp=2,
                  collect_flow_stats: bool = False,
-                 apply_fixup: bool = True):
+                 apply_fixup: bool = True, warp_path="auto"):
     """Channels-last synthesis forward — identical math to `synthesis` but
     NHWC end-to-end so the warp kernels run without layout transposes.
 
@@ -278,10 +343,16 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
     ``apply_fixup=False`` (optimistic mode; requires collect_flow_stats)
     skips the kernels' beyond-D fixup conds — a never-taken cond still
     pays XLA conditional-boundary copies — and returns
-    (img, flow64, stats, ovf_flags) where ovf_flags is an int32 vector of
-    per-kernel-level overflow flags: any flag > 0 means this output is
-    INVALID beyond-D and the caller must re-run with apply_fixup=True
-    (runtime/decode.py's optimistic loop).
+    (img, flow64, stats, flags) where flags is an int32 vector of
+    per-kernel-level [overflow, max-spread] pairs (flattened, coarse level
+    first): any overflow > 0 means this output is INVALID beyond-D and the
+    caller must re-run with apply_fixup=True (runtime/decode.py's
+    optimistic loop); the spread stat drives the trace-time path ratchet.
+
+    ``warp_path``: 'auto' | 'fast4' | 'fast6', an int-per-level tuple like
+    ``warp_disp`` — selects the v2 kernels' cond-free recentered path at
+    trace time (ops/pallas/shift_warp_v2).  A fast-path output is exact
+    iff its reported spread <= 2 / 4; the decode loop validates.
     """
     assert apply_fixup or collect_flow_stats, \
         "optimistic mode reports flags via the stats return"
@@ -316,6 +387,10 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
             lvl_d = warp_disp[int(math.log2(res)) - 7] if res >= 128 else 2
         else:
             lvl_d = warp_disp
+        if isinstance(warp_path, tuple):
+            lvl_p = warp_path[int(math.log2(res)) - 7] if res >= 128 else "auto"
+        else:
+            lvl_p = warp_path
         # fixup-free only for the kernel levels (>=128²): smaller levels
         # use the exact gather, where apply_fixup only changes arity
         lvl_fix = apply_fixup or res < 128
@@ -327,15 +402,31 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
             skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)],
                               blur_kernel=blur_kernel)
         else:
-            res_out = _to_flow_cl(
-                out, wa, feats_cl[lvl], to_flows[str(lvl)], skip_flow,
-                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel,
-                max_disp=lvl_d, apply_fixup=lvl_fix)
-            if lvl_fix:
-                out_warp, out, skip_flow, fl = res_out
+            feat_l = feats_cl[lvl]
+            is_last = lvl == n_levels - 1
+            from ..ops.pallas.shift_warp_v2 import v2_eligible
+            packed_last = (is_last and not lvl_fix and use_warp_kernel
+                           and feat_l.shape[0] == 1 and b > 1
+                           and v2_eligible(feat_l.shape, wa.dtype))
+            if packed_last:
+                # last level: the merged feature is dead, ToRGB runs on
+                # the kernel's packed lanes — skips the full-resolution
+                # lane-unpack relayout (see _to_flow_rgb_packed_cl)
+                skip, _, fl, ovf = _to_flow_rgb_packed_cl(
+                    out, wa, feat_l, to_flows[str(lvl)], to_rgbs[str(lvl)],
+                    skip_flow, skip, blur_kernel=blur_kernel,
+                    max_disp=lvl_d, warp_path=lvl_p)
+                ovf_flags.append(ovf)
             else:
-                out_warp, out, skip_flow, fl, ovf = res_out
-                ovf_flags.append(ovf[0])
+                res_out = _to_flow_cl(
+                    out, wa, feat_l, to_flows[str(lvl)], skip_flow,
+                    use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel,
+                    max_disp=lvl_d, apply_fixup=lvl_fix, warp_path=lvl_p)
+                if lvl_fix:
+                    out_warp, out, skip_flow, fl = res_out
+                else:
+                    out_warp, out, skip_flow, fl, ovf = res_out
+                    ovf_flags.append(ovf)
             if res == 64:
                 flow64 = fl
             if collect_flow_stats and res >= 128:
@@ -345,14 +436,15 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                 # keeps the per-chunk cost ~1 ms so EVERY chunk can report
                 flow_stats.append(
                     flow_needed_disp(fl[: min(4, fl.shape[0])], res, res))
-            skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip,
-                              blur_kernel=blur_kernel)
+            if not packed_last:
+                skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip,
+                                  blur_kernel=blur_kernel)
 
     if collect_flow_stats:
         stats = (jnp.stack(flow_stats) if flow_stats
                  else jnp.zeros((0,), jnp.int32))
         if not apply_fixup:
-            flags = (jnp.stack(ovf_flags) if ovf_flags
+            flags = (jnp.concatenate(ovf_flags) if ovf_flags
                      else jnp.zeros((0,), jnp.int32))
             return skip, flow64, stats, flags
         return skip, flow64, stats

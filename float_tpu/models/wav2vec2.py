@@ -105,7 +105,7 @@ def _pos_conv_embed(params, x, cfg: Wav2Vec2Config):
     return jnp.swapaxes(h, 1, 2)
 
 
-def _attention(p, x, num_heads: int):
+def _attention(p, x, num_heads: int, bias=None):
     b, t, c = x.shape
     hd = c // num_heads
     q = _linear(p["q_proj"], x) * (hd ** -0.5)
@@ -115,6 +115,8 @@ def _attention(p, x, num_heads: int):
     k = k.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias
     att = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhnm,bhmd->bhnd", att, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -127,15 +129,16 @@ def _feed_forward(p, x):
     return _linear(p["output_dense"], h)
 
 
-def _encoder_layer_post_ln(p, x, num_heads):
-    x = x + _attention(p["attention"], x, num_heads)
+def _encoder_layer_post_ln(p, x, num_heads, bias=None):
+    x = x + _attention(p["attention"], x, num_heads, bias)
     x = _layer_norm(p["layer_norm"], x)
     x = x + _feed_forward(p["feed_forward"], x)
     return _layer_norm(p["final_layer_norm"], x)
 
 
-def _encoder_layer_pre_ln(p, x, num_heads):
-    x = x + _attention(p["attention"], _layer_norm(p["layer_norm"], x), num_heads)
+def _encoder_layer_pre_ln(p, x, num_heads, bias=None):
+    x = x + _attention(p["attention"], _layer_norm(p["layer_norm"], x),
+                       num_heads, bias)
     return x + _feed_forward(p["feed_forward"], _layer_norm(p["final_layer_norm"], x))
 
 
@@ -144,8 +147,19 @@ class EncoderOutput(NamedTuple):
     hidden_states: tuple        # (num_layers + 1) entries, HF layout
 
 
-def encoder(params, x, cfg: Wav2Vec2Config, collect_hidden: bool = False) -> EncoderOutput:
-    """Transformer encoder over projected features (B, T, H)."""
+def encoder(params, x, cfg: Wav2Vec2Config, collect_hidden: bool = False,
+            attention_mask=None) -> EncoderOutput:
+    """Transformer encoder over projected features (B, T, H).
+
+    ``attention_mask`` (B, T) 1=real frame: HF Wav2Vec2Encoder semantics —
+    masked positions are zeroed BEFORE the positional conv and excluded
+    from attention via an additive key bias (the reference passes the
+    extractor mask into Wav2Vec2Model, wav2vec2_ser.py:77-86)."""
+    bias = None
+    if attention_mask is not None:
+        m = attention_mask.astype(x.dtype)
+        x = x * m[..., None]
+        bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
     x = x + _pos_conv_embed(params["pos_conv_embed"], x, cfg)
     hidden = []
     if cfg.do_stable_layer_norm:
@@ -153,7 +167,7 @@ def encoder(params, x, cfg: Wav2Vec2Config, collect_hidden: bool = False) -> Enc
             if collect_hidden:
                 hidden.append(x)
             x = _encoder_layer_pre_ln(params["layers"][str(i)], x,
-                                      cfg.num_attention_heads)
+                                      cfg.num_attention_heads, bias)
         x = _layer_norm(params["layer_norm"], x)
     else:
         x = _layer_norm(params["layer_norm"], x)
@@ -161,10 +175,31 @@ def encoder(params, x, cfg: Wav2Vec2Config, collect_hidden: bool = False) -> Enc
             if collect_hidden:
                 hidden.append(x)
             x = _encoder_layer_post_ln(params["layers"][str(i)], x,
-                                       cfg.num_attention_heads)
+                                       cfg.num_attention_heads, bias)
     if collect_hidden:
         hidden.append(x)
     return EncoderOutput(x, tuple(hidden))
+
+
+def feat_extract_output_length(n: int, cfg: Wav2Vec2Config) -> int:
+    """Conv-stack output length for ``n`` input samples (HF
+    _get_feat_extract_output_lengths: L -> (L - k)//s + 1 per layer)."""
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        n = (n - k) // s + 1
+    return n
+
+
+def feature_vector_attention_mask(attention_mask: jnp.ndarray,
+                                  t_conv: int, cfg: Wav2Vec2Config):
+    """Downsample a (B, N) sample-level mask to the (B, T_conv) frame grid
+    (HF _get_feature_vector_attention_mask: frames up to the conv output
+    length of each item\'s sample count are real)."""
+    lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+    strides_k = list(zip(cfg.conv_kernel, cfg.conv_stride))
+    for k, s in strides_k:
+        lengths = (lengths - k) // s + 1
+    frame = jnp.arange(t_conv)[None, :]
+    return (frame < lengths[:, None]).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -201,26 +236,44 @@ def encode(params, extract_features_out: jnp.ndarray, cfg: Wav2Vec2Config,
     return encoder(params["encoder"], h, cfg, collect_hidden=collect_hidden)
 
 
-def wav2vec2_standard(params, wave: jnp.ndarray, cfg: Wav2Vec2Config) -> jnp.ndarray:
+def wav2vec2_standard(params, wave: jnp.ndarray, cfg: Wav2Vec2Config,
+                      attention_mask=None) -> jnp.ndarray:
     """Standard HF Wav2Vec2Model forward (no frame resampling) -> last
-    hidden state (B, T_conv, H).  Used by the SER tower."""
+    hidden state (B, T_conv, H).  Used by the SER tower.
+
+    ``attention_mask`` (B, N) sample-level, 1=real: downsampled to the
+    conv frame grid and applied with HF Wav2Vec2Model semantics (the
+    xlsr-style SER configs set return_attention_mask=true)."""
     feats = feature_extractor(params["feature_extractor"], wave, cfg)
+    frame_mask = None
+    if attention_mask is not None:
+        frame_mask = feature_vector_attention_mask(
+            attention_mask, feats.shape[1], cfg)
     h = _layer_norm(params["feature_projection"]["layer_norm"], feats)
     h = _linear(params["feature_projection"]["projection"], h)
-    return encoder(params["encoder"], h, cfg, collect_hidden=False).last_hidden_state
+    return encoder(params["encoder"], h, cfg, collect_hidden=False,
+                   attention_mask=frame_mask).last_hidden_state
 
 
-def ser_logits(params, wave: jnp.ndarray, cfg: Wav2Vec2Config) -> jnp.ndarray:
+def ser_logits(params, wave: jnp.ndarray, cfg: Wav2Vec2Config,
+               attention_mask=None) -> jnp.ndarray:
     """Speech-emotion classifier: mean-pool over time + dense/tanh/out_proj
-    (reference: wav2vec2_ser.py:23-124, pooling_mode='mean')."""
-    h = wav2vec2_standard(params, wave, cfg)
+    (reference: wav2vec2_ser.py:23-124, pooling_mode='mean').
+
+    Note the pool is UNMASKED even when a mask is given — exactly the
+    reference\'s merged_strategy (torch.mean over dim=1,
+    wav2vec2_ser.py:57-72); the mask only shapes the encoder pass."""
+    h = wav2vec2_standard(params, wave, cfg, attention_mask=attention_mask)
     pooled = jnp.mean(h, axis=1)
     x = _linear(params["classifier"]["dense"], pooled)
     x = jnp.tanh(x)
     return _linear(params["classifier"]["out_proj"], x)
 
 
-def predict_emotion(params, wave: jnp.ndarray, cfg: Wav2Vec2Config) -> jnp.ndarray:
+def predict_emotion(params, wave: jnp.ndarray, cfg: Wav2Vec2Config,
+                    attention_mask=None) -> jnp.ndarray:
     """Softmax emotion scores (B, num_labels)
     (reference: FLOAT.py:396-401)."""
-    return jax.nn.softmax(ser_logits(params, wave, cfg).astype(jnp.float32), axis=-1)
+    return jax.nn.softmax(
+        ser_logits(params, wave, cfg,
+                   attention_mask=attention_mask).astype(jnp.float32), axis=-1)

@@ -209,7 +209,7 @@ def grid_sample_bilinear_nhwc(feat, grid):
 
 
 def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
-            shared_feat=None, apply_fixup: bool = True):
+            shared_feat=None, apply_fixup: bool = True, path: str = "auto"):
     """NHWC warp dispatcher.
 
     The decode case (``shared_feat`` (1, H, W, C): one encoder map shared
@@ -220,10 +220,16 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
     the XLA patch gather.  All kernel paths are exact for arbitrary flows
     via the cond-gather fixup beyond ``max_disp``.
 
-    ``apply_fixup=False`` (optimistic mode) returns (out, ovf_flag (1,)
-    int32) instead: the beyond-D fixup cond is skipped and the caller
-    re-runs flagged outputs with the fixup (see warp_shared_feat_v2);
-    exact non-kernel paths report flag 0."""
+    ``apply_fixup=False`` (optimistic mode) returns (out, flags (2,) int32
+    = [beyond-D overflow, max local spread]) instead: the beyond-D fixup
+    cond is skipped and the caller re-runs flagged outputs with the fixup
+    (see warp_shared_feat_v2); exact non-kernel paths report [0, -1]
+    (no spread statistic).
+
+    ``path`` ('auto' | 'fast4' | 'fast6', optimistic v2 levels only)
+    selects the cond-free recentered fast path at trace time; outputs are
+    exact iff the reported spread <= 2 / 4 (the decode loop's path
+    ratchet validates and re-decodes misses)."""
     b, h, w, c = feat.shape
     same_size = grid.shape[1] == h and grid.shape[2] == w
     if (use_kernel and same_size and feat.dtype == jnp.bfloat16
@@ -231,7 +237,8 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
             and c <= 128 and h % 8 == 0 and w % 128 == 0):
         from .pallas.shift_warp_v2 import warp_shared_feat_v2
         return warp_shared_feat_v2(shared_feat, grid, max_disp=max_disp,
-                                   apply_fixup=apply_fixup)
+                                   apply_fixup=apply_fixup,
+                                   path=path if not apply_fixup else "auto")
     if (use_kernel and same_size and feat.dtype == jnp.bfloat16
             and 128 <= h <= 256 and w >= 128
             and h % 16 == 0 and w % 128 == 0):
@@ -244,10 +251,14 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
         fpad = jnp.pad(fpad, ((0, 0), (MARGIN, MARGIN), (MARGIN, MARGIN),
                               (0, 0)))
         out = _shift_warp_nhwc(fpad, gy, gx, max_disp)[..., :c]
-        overflow = _overflow_mask(h, w, gy, gx, max_disp)
         if not apply_fixup:
-            flag = jnp.any(overflow).astype(jnp.int32)[None]
-            return out, flag
+            # optimistic mode exists to avoid per-pixel field costs: derive
+            # the flag from the scalar displacement bound, not the full
+            # (B, H, W) overflow mask (equivalent: both reduce
+            # (dy>D | dx>D) & relevant over all pixels)
+            flag = (flow_needed_disp(grid, h, w) > max_disp).astype(jnp.int32)
+            return out, jnp.stack([flag, jnp.int32(-1)])   # no spread stat
+        overflow = _overflow_mask(h, w, gy, gx, max_disp)
 
         def fix(o):
             exact = grid_sample_bilinear_nhwc(feat, grid)
@@ -256,7 +267,8 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
         return jax.lax.cond(jnp.any(overflow), fix, lambda o: o, out)
     out = grid_sample_bilinear_nhwc(feat, grid)
     if not apply_fixup:
-        return out, jnp.zeros((1,), jnp.int32)   # gather path is exact
+        # gather path is exact; no spread statistic
+        return out, jnp.asarray([0, -1], jnp.int32)
     return out
 
 

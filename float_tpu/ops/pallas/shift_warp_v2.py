@@ -58,7 +58,7 @@ def _hat_fields_at(fs, base_abs, size, off, groups):
 
 
 def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
-            *, h, w, d, groups, tr, nb, out_dtype):
+            *, h, w, d, groups, tr, nb, out_dtype, path):
     i = pl.program_id(0)
     j = pl.program_id(1)
     bb = pl.program_id(2)
@@ -127,7 +127,7 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
                    & (x0 + 1 >= 0) & (x0 < w))
             far = (jnp.abs(y0 - r_abs) > d) | (jnp.abs(x0 - c_abs) > d)
             ovf = jnp.maximum(ovf, jnp.max((far & rel).astype(jnp.float32)))
-        # max-accumulate into the single SMEM scalar (grid is sequential:
+        # max-accumulate into the SMEM scalars (grid is sequential:
         # dimension_semantics all "arbitrary")
         first = (i == 0) & (j == 0) & (bb == 0) & (bg == 0)
         prev = jnp.where(first, 0, ovf_ref[0])
@@ -215,6 +215,7 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
 
         if d <= 1:
             acc = taps(d)
+            ovf_ref[1] = jnp.where(first, 0, ovf_ref[1])   # no spread stat
         else:
             # flows are spatially smooth: within one (tile, frame-group
             # block) the integer displacements almost always span <= 2, so
@@ -235,6 +236,12 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
                 dy_mx = jnp.maximum(dy_mx, jnp.max(dy))
                 dx_mn = jnp.minimum(dx_mn, jnp.min(dx))
                 dx_mx = jnp.maximum(dx_mx, jnp.max(dx))
+            # the tile-block's local displacement spread: the statistic
+            # the trace-time path ratchet keys on (a recentered n-tap
+            # path is exact iff spread <= n - 2)
+            spread = jnp.maximum(dy_mx - dy_mn, dx_mx - dx_mn).astype(jnp.int32)
+            sprev = jnp.where(first, 0, ovf_ref[1])
+            ovf_ref[1] = jnp.maximum(sprev, spread)
             # a recentered n-tap path covers taps [dy_mn, dy_mx+1] within
             # [oy-1, oy+n-2] (feasible iff local spread <= n-2); clamps
             # keep the row slice inside the window and the column index
@@ -247,25 +254,44 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
                        & (dx_mn >= ox - 1) & (dx_mx + 1 <= ox + n - 2))
                 return oy, ox, cov
 
-            oy4, ox4, cov4 = offsets(4)
-            # middle tier: 6x6 taps cover spread <= 4 — at d == 2 that is
-            # TOTAL coverage (any |disp| <= 2 window fits), so the
-            # (2D+2)² fallback only survives for d >= 3 outlier tiles
-            oy6, ox6, cov6 = offsets(6)
-            slow = lambda: jax.lax.cond(
-                cov6, lambda: fastn(6, oy6, ox6),
-                lambda: taps(d, hoist=False))
-            acc = jax.lax.cond(cov4, lambda: fastn(4, oy4, ox4), slow)
+            if path == "fast4":
+                # trace-time-selected: NO conds; exact iff every tile
+                # block's spread <= 2, which the caller validates from the
+                # SMEM spread stat at its post-loop sync (invalid chunks
+                # re-decode with the auto program; runtime/decode.py)
+                oy4, ox4, _ = offsets(4)
+                acc = fastn(4, oy4, ox4)
+            elif path == "fast6":
+                # cond-free middle tier: exact iff spread <= 4 — at d == 2
+                # that is TOTAL coverage (spread is clipped to 2d)
+                oy6, ox6, _ = offsets(6)
+                acc = fastn(6, oy6, ox6)
+            else:
+                oy4, ox4, cov4 = offsets(4)
+                # middle tier: 6x6 taps cover spread <= 4 — at d == 2 that
+                # is TOTAL coverage (any |disp| <= 2 window fits), so the
+                # (2D+2)² fallback only survives for d >= 3 outlier tiles
+                oy6, ox6, cov6 = offsets(6)
+                slow = lambda: jax.lax.cond(
+                    cov6, lambda: fastn(6, oy6, ox6),
+                    lambda: taps(d, hoist=False))
+                acc = jax.lax.cond(cov4, lambda: fastn(4, oy4, ox4), slow)
         out_ref[pl.ds(bg, 1)] = acc.astype(out_dtype)[None]
         return 0
 
     jax.lax.fori_loop(0, nb, frame_group, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("d", "groups", "tr"))
-def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int):
+@functools.partial(jax.jit, static_argnames=("d", "groups", "tr", "path"))
+def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int,
+                    path: str = "auto"):
     """feat_tiled (1, H+2M, W+2M, 128) lane-tiled shared feat;
-    gyg/gxg (B//groups, groups, H, W) -> (B//groups, H, W, 128)."""
+    gyg/gxg (B//groups, groups, H, W) -> (B//groups, H, W, 128).
+
+    ``path``: 'auto' = per-tile cond chain (exact for any flow within D);
+    'fast4'/'fast6' = the trace-time-selected cond-free recentered path —
+    exact iff every tile block's local spread <= 2 / 4, validated by the
+    caller from the returned spread stat (flags[1])."""
     nbg = gyg.shape[0]
     m = _margin(d)
     h, w = gyg.shape[2], gyg.shape[3]
@@ -277,7 +303,7 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int):
     nb = max(n for n in (4, 3, 2, 1) if nbg % n == 0)
 
     kern = functools.partial(_kernel, h=h, w=w, d=d, groups=groups, tr=tr,
-                             nb=nb, out_dtype=out_dtype)
+                             nb=nb, out_dtype=out_dtype, path=path)
     return pl.pallas_call(
         kern,
         grid=(h // tr, w // TC, nbg // nb),
@@ -292,7 +318,8 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int):
                                 lambda i, j, b: (b, i, j, 0)),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((nbg, h, w, 128), out_dtype),
-                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+                   # [beyond-D overflow flag, max local spread]
+                   jax.ShapeDtypeStruct((2,), jnp.int32)),
         scratch_shapes=[
             pltpu.VMEM((wr, wc, 128), feat_tiled.dtype),
             pltpu.VMEM((2 * d + 2, wr, TC, 128), feat_tiled.dtype),
@@ -323,43 +350,78 @@ def pick_groups(c: int, b: int) -> int:
     return 1
 
 
-def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
-                        max_disp: int = 3, tr: int = 8,
-                        apply_fixup: bool = True):
-    """Warp ONE shared feature map (1, H, W, C) with B per-frame grids
-    (B, H, W, 2) -> (B, H, W, C) NHWC.  Exact for arbitrary flows via the
-    cond-gather fixup beyond ``max_disp``.
+def v2_eligible(feat_shape, dtype) -> bool:
+    """Same routing condition as ops.nhwc.warp_cl's v2 branch."""
+    _, h, w, c = feat_shape
+    return (dtype == jnp.bfloat16 and h >= 128 and c <= 128
+            and h % 8 == 0 and w % 128 == 0)
 
-    ``apply_fixup=False`` is the OPTIMISTIC mode: returns
-    (out, ovf_flag (1,) int32) without the fixup cond — even a never-taken
-    cond costs XLA conditional-boundary copies of the (B, H, W, C)
-    operand (~2-3 ms at 512²).  The caller must treat flag > 0 chunks as
-    invalid and re-run them with apply_fixup=True (runtime/decode.py's
-    optimistic loop does)."""
-    from ..nhwc import grid_sample_bilinear_nhwc
-    from .shift_warp_kernel import _overflow_mask
 
-    assert max_disp <= MAX_DISP, (max_disp, MAX_DISP)
+def warp_shared_feat_v2_packed(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
+                               max_disp: int = 3, tr: int = 8,
+                               path: str = "auto"):
+    """Optimistic packed-OUTPUT variant: returns (packed (B//groups, H, W,
+    128), flags (2,), groups) keeping the kernel's frame-lane packing.
+
+    The standard wrapper's lane-unpack (reshape + transpose back to
+    (B, H, W, C)) relayouts the full-resolution tensor several times —
+    profiled at ~8 ms/chunk at 512², as much as the warp kernels
+    themselves.  A consumer that can work on the packed layout (the
+    last-level ToRGB: a 1×1 conv = block-diagonal matmul over the lanes,
+    models/synthesis._to_flow_rgb_packed_cl) skips that entirely and
+    unpacks only its own 3-channel output."""
+    assert max_disp >= 2 or path == "auto"
     m = _margin(max_disp)
     _, h, w, c = feat1_nhwc.shape
     b = grid.shape[0]
     groups = pick_groups(c, b)
     cg = 128 // groups
-    gy = grid[..., 1]
-    gx = grid[..., 0]
-
     fpad = feat1_nhwc if c == cg else jnp.pad(
         feat1_nhwc, ((0, 0), (0, 0), (0, 0), (0, cg - c)))
     ftile = fpad if groups == 1 else jnp.tile(fpad, (1, 1, 1, groups))
-    # bottom/right padded further so the 8-rounded DMA window stays in
-    # bounds at the last tile (see _kernel: wr/wc are _ceil8'd)
     pad_r = _ceil8(tr + 2 * m) - tr - m
     pad_c = _ceil8(TC + 2 * m) - TC - m
     ftile = jnp.pad(ftile, ((0, 0), (m, pad_r), (m, pad_c), (0, 0)))
-    gyg = gy.reshape(b // groups, groups, h, w)
-    gxg = gx.reshape(b // groups, groups, h, w)
+    gyg = grid[..., 1].reshape(b // groups, groups, h, w)
+    gxg = grid[..., 0].reshape(b // groups, groups, h, w)
+    packed, flags = _packed_warp_v2(ftile, gyg, gxg, max_disp, groups,
+                                    tr, path)
+    return packed, flags, groups
 
-    packed, ovf_flags = _packed_warp_v2(ftile, gyg, gxg, max_disp, groups, tr)
+
+def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
+                        max_disp: int = 3, tr: int = 8,
+                        apply_fixup: bool = True, path: str = "auto"):
+    """Warp ONE shared feature map (1, H, W, C) with B per-frame grids
+    (B, H, W, 2) -> (B, H, W, C) NHWC.  Exact for arbitrary flows via the
+    cond-gather fixup beyond ``max_disp``.
+
+    ``apply_fixup=False`` is the OPTIMISTIC mode: returns
+    (out, flags (2,) int32 = [beyond-D overflow, max local spread])
+    without the fixup cond — even a never-taken cond costs XLA
+    conditional-boundary copies of the (B, H, W, C) operand (~2-3 ms at
+    512²).  The caller must treat flags[0] > 0 chunks as invalid and
+    re-run them with apply_fixup=True (runtime/decode.py's optimistic
+    loop does).
+
+    ``path`` != 'auto' selects the cond-free recentered fast path at
+    trace time (optimistic mode only): the output is exact iff
+    flags[1] <= 2 ('fast4') / 4 ('fast6') — the caller validates and
+    re-decodes misses with the auto program."""
+    from ..nhwc import grid_sample_bilinear_nhwc
+    from .shift_warp_kernel import _overflow_mask
+
+    assert max_disp <= MAX_DISP, (max_disp, MAX_DISP)
+    assert path == "auto" or (not apply_fixup and max_disp >= 2), \
+        "trace-time path selection requires optimistic mode and D >= 2"
+    _, h, w, c = feat1_nhwc.shape
+    b = grid.shape[0]
+    gy = grid[..., 1]
+    gx = grid[..., 0]
+
+    packed, ovf_flags, groups = warp_shared_feat_v2_packed(
+        feat1_nhwc, grid, max_disp, tr, path)
+    cg = 128 // groups
     out = packed.reshape(b // groups, h, w, groups, cg)
     out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, h, w, cg)[..., :c]
 

@@ -33,7 +33,8 @@ logger = logging.getLogger("float_tpu.decode")
 
 def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
-                warp_disp=2, with_stats=False, fixup=True):
+                warp_disp=2, with_stats=False, fixup=True,
+                warp_path="auto"):
     """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8.
 
     channels_last runs the NHWC synthesis path (feats must be NHWC): the
@@ -63,7 +64,7 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
             img, _, stats, flags = synthesis_cl(
                 params, wa_chunk, feats, size, blur_kernel=blur_kernel,
                 warp_disp=warp_disp, collect_flow_stats=True,
-                apply_fixup=False)
+                apply_fixup=False, warp_path=warp_path)
         elif with_stats:
             img, _, stats = synthesis_cl(params, wa_chunk, feats, size,
                                          blur_kernel=blur_kernel,
@@ -90,7 +91,7 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
 
 _decode_chunk = partial(jax.jit, static_argnames=(
     "size", "out_u8", "channels_last", "blur_kernel", "warp_disp",
-    "with_stats", "fixup"))(_chunk_core)
+    "with_stats", "fixup", "warp_path"))(_chunk_core)
 
 
 def make_sharded_chunk_fn(mesh):
@@ -106,10 +107,11 @@ def make_sharded_chunk_fn(mesh):
 
     @partial(jax.jit, static_argnames=("size", "out_u8", "channels_last",
                                        "blur_kernel", "warp_disp",
-                                       "with_stats", "fixup"))
+                                       "with_stats", "fixup", "warp_path"))
     def chunk_fn(params, wa_chunk, feats, size, out_u8=False,
                  channels_last=True, blur_kernel=(1, 3, 3, 1),
-                 warp_disp=DEFAULT_WARP_DISP, with_stats=False, fixup=True):
+                 warp_disp=DEFAULT_WARP_DISP, with_stats=False, fixup=True,
+                 warp_path="auto"):
         assert wa_chunk.shape[0] % mesh.size == 0, (
             f"decode_batch {wa_chunk.shape[0]} not divisible by mesh size "
             f"{mesh.size}")
@@ -124,7 +126,8 @@ def make_sharded_chunk_fn(mesh):
             out = _chunk_core(p, w, f, size, out_u8=out_u8,
                               channels_last=channels_last,
                               blur_kernel=blur_kernel, warp_disp=warp_disp,
-                              with_stats=with_stats, fixup=fixup)
+                              with_stats=with_stats, fixup=fixup,
+                              warp_path=warp_path)
             if with_stats and not fixup:
                 img, stats, flags = out
                 return img, _allmax(stats), _allmax(flags)
@@ -143,7 +146,6 @@ def make_sharded_chunk_fn(mesh):
             body, mesh=mesh,
             in_specs=(P(), P(axes), P()),
             out_specs=out_specs,
-            check_vma=False,
         )(params, wa_chunk, feats)
 
     return chunk_fn
@@ -164,6 +166,55 @@ def _ratchet_get(size: int) -> tuple:
     from ..models.synthesis import n_kernel_levels
     n = n_kernel_levels(size)
     return _DISP_RATCHET.get(size, (DEFAULT_WARP_DISP,) * n)
+
+
+def seed_ratchet(size: int, disp) -> tuple:
+    """Pre-seed the per-level warp D (e.g. from a persisted flow profile)
+    so the first clip of a process already runs the converged programs
+    instead of learning D through flagged chunks + re-decodes."""
+    from ..models.synthesis import n_kernel_levels
+    n = n_kernel_levels(size)
+    disp = tuple(int(min(max(int(d), DEFAULT_WARP_DISP), MAX_WARP_DISP))
+                 for d in disp)
+    if len(disp) != n:
+        raise ValueError(f"profile has {len(disp)} levels, size {size} "
+                         f"needs {n}")
+    cur = _ratchet_get(size)
+    _DISP_RATCHET[size] = tuple(max(d, c) for d, c in zip(disp, cur))
+    return _DISP_RATCHET[size]
+
+
+def save_warp_profile(path: str, checkpoint: str = "") -> dict:
+    """Persist the process's learned per-level warp D (the flow profile
+    the readiness gate writes; tools/readiness_check.py)."""
+    import json
+    prof = {
+        "version": 1,
+        "checkpoint": checkpoint,
+        "disp": {str(size): list(d) for size, d in _DISP_RATCHET.items()},
+        "path": {str(size): list(p) for size, p in _PATH_RATCHET.items()},
+    }
+    with open(path, "w") as f:
+        json.dump(prof, f, indent=1)
+    return prof
+
+
+def load_warp_profile(path: str) -> dict:
+    """Seed the ratchet from a persisted flow profile; returns the dict.
+    Missing file is a no-op (the ratchet then learns per process)."""
+    import json
+    import os
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        prof = json.load(f)
+    for size, disp in prof.get("disp", {}).items():
+        seed_ratchet(int(size), disp)
+    for size, paths in prof.get("path", {}).items():
+        seed_paths(int(size), paths)
+    logger.info("seeded warp ratchets from %s: D=%s path=%s", path,
+                prof.get("disp"), prof.get("path"))
+    return prof
 
 
 def _ratchet_apply(size: int, stats) -> tuple:
@@ -192,9 +243,79 @@ def _ratchet_apply_max(size: int, all_stats: list) -> tuple:
     return _ratchet_apply(size, np.asarray(jnp.stack(stats)).max(axis=0))
 
 
-def _sync_stats_flags(size: int, all_stats: list, all_flags: list) -> list:
-    """One post-loop device sync: ratchet the stats, return the indices
-    of chunks whose overflow flags mark them for a fixup re-decode."""
+# ---------------------------------------------------------------------------
+# trace-time warp fast-path ratchet
+# ---------------------------------------------------------------------------
+#
+# The v2 kernel's per-tile lax.cond chain (fast4 / fast6 / slow) is exact
+# for any flow within D, but the cond mix is what makes chunk times vary
+# 48-75 ms (PERF.md) — and a cond-free program is faster even when the
+# cond always takes the same branch.  Every optimistic chunk reports the
+# per-level MAX LOCAL SPREAD (flags[2*l+1], computed in-kernel from the
+# same min/max fields the recentering already needs); after the first
+# clip the ratchet selects per level the smallest cond-free path that
+# covers the observed spread (fast4: spread <= 2, fast6: <= 4, else
+# auto), and demotes a level when a later clip exceeds its capacity
+# (the flagged chunks re-decode with the auto program — same safety
+# pattern as the D ratchet).
+
+_PATH_CAPACITY = {"fast4": 2, "fast6": 4, "auto": 1 << 30}
+_PATH_RATCHET: dict = {}       # size -> tuple[str] per kernel level
+
+
+def _path_get(size: int) -> tuple:
+    from ..models.synthesis import n_kernel_levels
+    return _PATH_RATCHET.get(size, ("auto",) * n_kernel_levels(size))
+
+
+def _path_for_spread(sp: int) -> str:
+    if sp <= 2:
+        return "fast4"
+    if sp <= 4:
+        return "fast6"
+    return "auto"
+
+
+def _path_fold(size: int, spread_max) -> tuple:
+    """Fold observed per-level spreads into the path selection.
+
+    First observation selects the smallest covering path; afterwards only
+    demotions happen (no flapping between programs).  spread < 0 means
+    'no statistic' (auto-only non-v2 level) and keeps auto."""
+    cur = _PATH_RATCHET.get(size)
+    n = len(spread_max)
+    if cur is None:
+        new = tuple("auto" if sp < 0 else _path_for_spread(int(sp))
+                    for sp in spread_max)
+    else:
+        new = tuple(c if sp < 0 or int(sp) <= _PATH_CAPACITY[c]
+                    else _path_for_spread(int(sp))
+                    for c, sp in zip(cur, spread_max))
+    if cur is None or new != cur:
+        _PATH_RATCHET[size] = new
+        logger.info("warp path ratchet %d²: %s (spread %s)", size, new,
+                    list(map(int, spread_max)))
+    return new
+
+
+def seed_paths(size: int, paths) -> tuple:
+    """Pre-seed the per-level fast-path selection (from a warp profile)."""
+    from ..models.synthesis import n_kernel_levels
+    n = n_kernel_levels(size)
+    paths = tuple(str(p) for p in paths)
+    if len(paths) != n or any(p not in _PATH_CAPACITY for p in paths):
+        raise ValueError(f"bad path profile {paths} for size {size}")
+    _PATH_RATCHET[size] = paths
+    return paths
+
+
+def _sync_stats_flags(size: int, all_stats: list, all_flags: list,
+                      paths: tuple = None) -> list:
+    """One post-loop device sync: ratchet the stats, select/demote the
+    fast paths, and return the indices of chunks that must re-decode with
+    the auto+fixup program — beyond-D overflows (flags[2l] > 0) and
+    fast-path spread misses (flags[2l+1] > capacity of the path the chunk
+    was DISPATCHED with, ``paths``)."""
     import numpy as np
     if not all_flags or all_flags[0].shape[0] == 0:
         _ratchet_apply_max(size, all_stats)
@@ -203,8 +324,30 @@ def _sync_stats_flags(size: int, all_stats: list, all_flags: list) -> list:
         [jnp.stack(all_stats), jnp.stack(all_flags)], axis=1)
     host = np.asarray(packed)                       # single transfer
     n_lv = all_stats[0].shape[0]
-    _ratchet_apply(size, host[:, :n_lv].max(axis=0))
-    return [int(ci) for ci in np.nonzero(host[:, n_lv:].any(axis=1))[0]]
+    stats_max = host[:, :n_lv].max(axis=0)
+    fl = host[:, n_lv:].reshape(host.shape[0], -1, 2)
+    ovf = fl[:, :, 0]                               # (n_chunks, n_lv)
+    spread = fl[:, :, 1]
+    ovf_any = ovf.any(axis=0)
+    # The probe samples a 4-frame subset per chunk: when a level's overflow
+    # flag fires but the subset stat never exceeded the current D, the big
+    # flow lives only in unsampled frames — without a bump the ratchet
+    # would never grow and every clip would permanently pay the double
+    # decode for flagged chunks.  Bump such levels by 1 so the optimistic
+    # program converges to the clip regime.
+    cur = np.asarray(_ratchet_get(size))
+    if ovf_any.shape[0] == n_lv:
+        stats_max = np.where(ovf_any & (stats_max <= cur),
+                             cur + 1, stats_max)
+    _ratchet_apply(size, stats_max)
+
+    redo = ovf.any(axis=1)
+    if spread.shape[1] == n_lv:
+        if paths is not None:
+            cap = np.asarray([_PATH_CAPACITY[p] for p in paths])
+            redo |= (spread > cap[None, :]).any(axis=1)
+        _path_fold(size, spread.max(axis=0))
+    return [int(ci) for ci in np.nonzero(redo)[0]]
 
 
 def _cast_params(params, dtype):
@@ -262,6 +405,7 @@ def decode_latents(
     chunks = []
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
+    paths = _path_get(size)
     all_stats = []
     all_flags = []
     for ci in range(n_chunks):
@@ -269,13 +413,13 @@ def decode_latents(
         chunk, stats, flags = fn(params_c, wa_c, feats_c, size,
                                  blur_kernel=blur_kernel,
                                  warp_disp=disp, with_stats=True,
-                                 fixup=False)
+                                 fixup=False, warp_path=paths)
         chunks.append(chunk)
         all_stats.append(stats)
         all_flags.append(flags)
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
-    redo = _sync_stats_flags(size, all_stats, all_flags)
+    redo = _sync_stats_flags(size, all_stats, all_flags, paths)
     if redo:
         # rare: flows exceeded the ratcheted D this clip (the ratchet just
         # grew for the next one).  First occurrence per process compiles
@@ -321,6 +465,7 @@ def decode_latents_to_host(
     pending = []
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
+    paths = _path_get(size)
     all_stats = []
     all_flags = []
     for ci in range(n_chunks):
@@ -331,20 +476,26 @@ def decode_latents_to_host(
                                out_u8=uint8_transfer,
                                blur_kernel=blur_kernel,
                                warp_disp=disp, with_stats=True,
-                               fixup=False)
+                               fixup=False, warp_path=paths)
         pending.append((ci, dev))
         all_stats.append(stats)
         all_flags.append(flags)
         # keep one chunk in flight: materialize the previous one while the
         # current computes
         if len(pending) > 1:
-            _drain(pending.pop(0), out, fb, t_frames, uint8_transfer)
-        if frame_callback is not None:
-            frame_callback(ci, n_chunks)
+            done = pending.pop(0)
+            _drain(done, out, fb, t_frames, uint8_transfer)
+            # the drain blocks until the chunk's bytes arrived, so the
+            # callback reflects REAL completion (a dispatch-time callback
+            # would jump to 100% while the device still works)
+            if frame_callback is not None:
+                frame_callback(done[0], n_chunks)
     for item in pending:
         _drain(item, out, fb, t_frames, uint8_transfer)
+        if frame_callback is not None:
+            frame_callback(item[0], n_chunks)
     # overflowed chunks: re-decode with the fixup program and re-drain
-    redo = _sync_stats_flags(size, all_stats, all_flags)
+    redo = _sync_stats_flags(size, all_stats, all_flags, paths)
     if redo:
         logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
                     "program", len(redo), n_chunks)
@@ -365,3 +516,166 @@ def _drain(item, out, fb, t_frames, uint8_transfer):
     lo = ci * fb
     hi = min(lo + fb, t_frames)
     out[lo:hi] = host[: hi - lo]
+
+
+def decode_latents_stream(
+    synthesis_params, s_r, feats, latent_iter, *,
+    size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
+    blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
+    chunk_fn=None, frame_callback=None,
+):
+    """Incremental decode: consume (k, dim_w) r_d pieces from
+    ``latent_iter`` and yield (start_frame, frames (k', S, S, 3) float32
+    [0,1]) as soon as each decode chunk's bytes reach the host.
+
+    The streaming-latency mode (VERDICT r2 #3): the sampler generator can
+    keep integrating chunk c+1 while chunk c decodes — dispatches are
+    async, the device executes in order, and the host only blocks on the
+    chunk it is about to yield (one chunk stays in flight).
+
+    Uses the always-exact fixup chunk program: frames leave the function
+    before the optimistic path's post-loop flag sync could validate them,
+    so optimism is not sound here (it would yield invalid frames).  The
+    probe stats still feed the ratchet at generator close.
+    """
+    import numpy as np
+
+    fb = decode_batch
+    dtype = jnp.dtype(compute_dtype)
+    s32 = s_r.astype(jnp.float32)
+    feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
+    params_c = _cast_params(synthesis_params, dtype)
+    fn = chunk_fn or _decode_chunk
+    disp = _ratchet_get(size)
+
+    buf: list = []                 # pending latent rows (device arrays)
+    buffered = 0
+    pending = None                 # (start_frame, n_valid, dev_chunk)
+    all_stats = []
+    n_done = 0
+
+    def _dispatch(rows, start, n_valid):
+        wa_c = (s32 + rows.astype(jnp.float32)).astype(dtype)
+        dev, stats = fn(params_c, wa_c, feats_c, size,
+                        out_u8=uint8_transfer, blur_kernel=blur_kernel,
+                        warp_disp=disp, with_stats=True)
+        all_stats.append(stats)
+        return (start, n_valid, dev)
+
+    def _emit(item):
+        nonlocal n_done
+        start, n_valid, dev = item
+        host = np.asarray(dev)[:n_valid]
+        if uint8_transfer:
+            host = host.astype(np.float32) / 255.0
+        n_done += 1
+        if frame_callback is not None:
+            frame_callback(n_done - 1, -1)   # total unknown mid-stream
+        return start, host
+
+    emitted_rows = 0
+    for piece in latent_iter:
+        buf.append(piece)
+        buffered += piece.shape[0]
+        while buffered >= fb:
+            cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, axis=0)
+            rows, rest = cat[:fb], cat[fb:]
+            buf = [rest] if rest.shape[0] else []
+            buffered = rest.shape[0]
+            item = _dispatch(rows, emitted_rows, fb)
+            emitted_rows += fb
+            if pending is not None:
+                yield _emit(pending)
+            pending = item
+    if buffered:
+        cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, axis=0)
+        pad = jnp.broadcast_to(cat[-1:], (fb - buffered, cat.shape[1]))
+        item = _dispatch(jnp.concatenate([cat, pad], axis=0),
+                         emitted_rows, buffered)
+        if pending is not None:
+            yield _emit(pending)
+        pending = item
+    if pending is not None:
+        yield _emit(pending)
+    _ratchet_apply_max(size, all_stats)
+
+
+def decode_clips_to_host(
+    synthesis_params, clips, *,
+    size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
+    blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
+    chunk_fn=None, frame_callback=None,
+):
+    """Decode SEVERAL clips in one dispatch stream (the batch>1 serving
+    path, VERDICT r2 #2).  ``clips`` = list of (s_r (1, dim_w), feats,
+    r_d (T_i, dim_w)).  Returns a list of (T_i, S, S, 3) float32 arrays.
+
+    vs a per-clip ``decode_latents_to_host`` loop: chunks from all clips
+    share ONE optimistic dispatch stream, one in-flight drain overlap and
+    ONE post-loop stats/flags sync — no per-clip ~30 ms tunnel round trip
+    and no device idle gap between clips."""
+    import numpy as np
+
+    fb = decode_batch
+    dtype = jnp.dtype(compute_dtype)
+    params_c = _cast_params(synthesis_params, dtype)
+    fn = chunk_fn or _decode_chunk
+    disp = _ratchet_get(size)
+
+    # per-clip prepared inputs + outputs
+    prep = []
+    outs = []
+    total_chunks = 0
+    for s_r, feats, r_d in clips:
+        t_frames = r_d.shape[0]
+        n_chunks = math.ceil(t_frames / fb)
+        wa = (s_r.astype(jnp.float32)
+              + r_d.astype(jnp.float32)).astype(dtype)
+        if n_chunks * fb != t_frames:
+            wa = jnp.pad(wa, ((0, n_chunks * fb - t_frames), (0, 0)),
+                         mode="edge")
+        feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1))
+                   for f in feats]
+        prep.append((wa, feats_c, t_frames, n_chunks))
+        outs.append(np.empty((t_frames, size, size, 3), np.float32))
+        total_chunks += n_chunks
+
+    pending = []                    # (clip_idx, chunk_idx, dev)
+    all_stats, all_flags = [], []
+    chunk_keys = []                 # (clip_idx, chunk_idx) per dispatch
+    n_emitted = 0
+    paths = _path_get(size)
+    for k, (wa, feats_c, t_frames, n_chunks) in enumerate(prep):
+        for ci in range(n_chunks):
+            dev, stats, flags = fn(params_c, wa[ci * fb:(ci + 1) * fb],
+                                   feats_c, size, out_u8=uint8_transfer,
+                                   blur_kernel=blur_kernel, warp_disp=disp,
+                                   with_stats=True, fixup=False,
+                                   warp_path=paths)
+            pending.append((k, ci, dev))
+            chunk_keys.append((k, ci))
+            all_stats.append(stats)
+            all_flags.append(flags)
+            if len(pending) > 1:
+                kk, cc, dv = pending.pop(0)
+                _drain((cc, dv), outs[kk], fb, prep[kk][2], uint8_transfer)
+                n_emitted += 1
+                if frame_callback is not None:
+                    frame_callback(n_emitted - 1, total_chunks)
+    for kk, cc, dv in pending:
+        _drain((cc, dv), outs[kk], fb, prep[kk][2], uint8_transfer)
+        n_emitted += 1
+        if frame_callback is not None:
+            frame_callback(n_emitted - 1, total_chunks)
+    redo = _sync_stats_flags(size, all_stats, all_flags, paths)
+    if redo:
+        logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
+                    "program", len(redo), total_chunks)
+    for di in redo:
+        kk, cc = chunk_keys[di]
+        wa, feats_c, t_frames, _ = prep[kk]
+        dev, _ = fn(params_c, wa[cc * fb:(cc + 1) * fb], feats_c, size,
+                    out_u8=uint8_transfer, blur_kernel=blur_kernel,
+                    warp_disp=disp, with_stats=True)
+        _drain((cc, dev), outs[kk], fb, t_frames, uint8_transfer)
+    return outs

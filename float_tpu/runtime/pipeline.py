@@ -38,6 +38,19 @@ def audio_num_frames(n_samples: int, cfg: FloatConfig) -> int:
     return math.ceil(n_samples * cfg.fps / cfg.sampling_rate)
 
 
+def _stage_cb(progress, stage: str):
+    """Adapt a ``progress(stage, i, n)`` callback to the decode loop's
+    (i, n) frame_callback; None passes through (no overhead)."""
+    if progress is None:
+        return None
+    return lambda i, n: progress(stage, i + 1, n)
+
+
+def _report(progress, stage: str, i: int = 1, n: int = 1):
+    if progress is not None:
+        progress(stage, i, n)
+
+
 def one_hot_emotion(label: str, dim_e: int = 7) -> jnp.ndarray:
     """(1, 1, E) one-hot for a named emotion (reference: FLOAT.py:200)."""
     idx = EMOTION_LABELS.index(label.lower())
@@ -127,6 +140,20 @@ class FloatPipeline:
 
         self._sample = _sample
 
+        # per-chunk sampler (same math as the scan body — sampling.
+        # sample_motion_chunk) for the streaming mode: integrate chunk c+1
+        # while chunk c decodes; also reused by generate_batch
+        @partial(jax.jit, static_argnames=("nfe", "method", "cfg_mode"))
+        def _sample_chunk(fmt_params, r_s, wa_t, we_t, carry, x0,
+                          a_s, e_s, r_sc, nfe, method, cfg_mode):
+            from .sampling import sample_motion_chunk
+            return sample_motion_chunk(
+                fmt_params, r_s, wa_t, we_t, carry, x0, cfg=cfg,
+                a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_sc,
+                nfe=nfe, ode_method=method, cfg_mode=cfg_mode)
+
+        self._sample_chunk = _sample_chunk
+
         # decode_latents manages its own per-chunk jit (python chunk loop);
         # under a mesh the chunk is shard_map'd over the frame batch
         chunk_fn = None
@@ -142,15 +169,6 @@ class FloatPipeline:
             lambda a: a.astype(jnp.dtype(cfg.compute_dtype)),
             self.params["synthesis"])
 
-        def _decode(syn_params, s_r, feats, r_d):
-            return decode_latents(
-                syn_params, s_r, feats, r_d,
-                size=cfg.input_size, decode_batch=cfg.decode_batch,
-                compute_dtype=jnp.dtype(cfg.compute_dtype),
-                chunk_fn=chunk_fn)
-
-        self._decode = _decode
-
     # ------------------------------------------------------------------
     # stage API (the Advanced-node surface maps onto these)
     # ------------------------------------------------------------------
@@ -165,8 +183,31 @@ class FloatPipeline:
         return self._encode_audio(self.params["audio_encoder"], wave, seq_len)
 
     def predict_emotion(self, wave: jnp.ndarray) -> jnp.ndarray:
-        """wave (B, N) -> softmax scores (B, E)."""
-        return self._emotion(self.params["emotion"], wave)
+        """wave (B, N) -> softmax scores (B, E).
+
+        Clips beyond cfg.ser_max_sec are predicted over fixed windows and
+        the scores averaged (weighted by window sample count): the
+        wav2vec2-large attention is O(T²), so an unchunked 5-min clip
+        would not fit; windows also bucket to at most two compiled
+        program shapes (full window + one tail)."""
+        cfg = self.cfg
+        max_n = int(cfg.ser_max_sec * cfg.sampling_rate)
+        n = wave.shape[-1]
+        if n <= max_n:
+            return self._emotion(self.params["emotion"], wave)
+        scores = []
+        weights = []
+        for lo in range(0, n, max_n):
+            w = wave[:, lo:lo + max_n]
+            if w.shape[-1] < 1600:       # sub-0.1 s tail: fold into none
+                break
+            scores.append(self._emotion(self.params["emotion"], w))
+            weights.append(w.shape[-1])
+        tot = float(sum(weights))
+        out = scores[0] * (weights[0] / tot)
+        for s, wt in zip(scores[1:], weights[1:]):
+            out = out + s * (wt / tot)
+        return out
 
     def emotion_latent(self, wave: Optional[jnp.ndarray], emotion: str = "none"):
         """we (B, 1, E): predicted from audio or one-hot by label
@@ -209,15 +250,27 @@ class FloatPipeline:
             mode)
         return r_d[:, :t_true]
 
-    def decode(self, s_r, feats, r_d) -> jnp.ndarray:
-        """(1, dim_w) + feats + (1|T, T, dim_w) -> (T, S, S, 3) in [0, 1]."""
+    def decode(self, s_r, feats, r_d, progress=None) -> jnp.ndarray:
+        """(1, dim_w) + feats + (1|T, T, dim_w) -> (T, S, S, 3) in [0, 1].
+
+        ``progress(stage, i, n)`` fires per decode chunk (dispatch-time:
+        the result stays on device, nothing blocks here)."""
         if r_d.ndim == 3:
             r_d = r_d[0]
-        return self._decode(self._syn_cast, s_r, feats, r_d)
+        return decode_latents(
+            self._syn_cast, s_r, feats, r_d,
+            size=self.cfg.input_size, decode_batch=self.cfg.decode_batch,
+            compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            chunk_fn=self._chunk_fn,
+            frame_callback=_stage_cb(progress, "decode"))
 
-    def decode_to_host(self, s_r, feats, r_d, uint8_transfer: bool = True):
+    def decode_to_host(self, s_r, feats, r_d, uint8_transfer: bool = True,
+                       progress=None):
         """Decode + stream frames to host as float32 numpy (uint8 on the
-        wire; chunk transfers overlap compute — use for long clips)."""
+        wire; chunk transfers overlap compute — use for long clips).
+
+        ``progress(stage, i, n)`` fires as each chunk's bytes ARRIVE on
+        the host (real completion, not dispatch)."""
         from .decode import decode_latents_to_host
         if r_d.ndim == 3:
             r_d = r_d[0]
@@ -225,7 +278,8 @@ class FloatPipeline:
             self._syn_cast, s_r, feats, r_d,
             size=self.cfg.input_size, decode_batch=self.cfg.decode_batch,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-            uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn)
+            uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn,
+            frame_callback=_stage_cb(progress, "decode"))
 
     # ------------------------------------------------------------------
     # one-shot generation (the FloatProcess node equivalent)
@@ -234,19 +288,169 @@ class FloatPipeline:
     def generate(self, img: jnp.ndarray, wave: jnp.ndarray, *,
                  emotion: str = "none", seed: Optional[int] = None,
                  a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
-                 nfe=None, ode_method=None) -> jnp.ndarray:
+                 nfe=None, ode_method=None, progress=None) -> jnp.ndarray:
         """Full pipeline: (1,3,S,S) image + (1,N) audio -> (T,S,S,3) frames.
 
         Mirrors FLOAT.inference (reference: FLOAT.py:255-298).
+        ``progress(stage, i, n)`` reports the encode/audio/emotion/sample
+        stages at dispatch and the decode per chunk.
         """
         t_frames = audio_num_frames(wave.shape[-1], self.cfg)
         s_r, _lam, feats, r_s = self.encode_image(img)
+        _report(progress, "encode_image")
         wa = self.encode_audio(wave, t_frames)
+        _report(progress, "encode_audio")
         we = self.emotion_latent(wave, emotion)
+        _report(progress, "emotion")
         r_d = self.sample(r_s, wa, we, seed=seed,
                           a_cfg_scale=a_cfg_scale, e_cfg_scale=e_cfg_scale,
                           r_cfg_scale=r_cfg_scale, nfe=nfe, ode_method=ode_method)
-        return self.decode(s_r, feats, r_d)
+        _report(progress, "sample")
+        return self.decode(s_r, feats, r_d, progress=progress)
+
+    def generate_stream(self, img: jnp.ndarray, wave: jnp.ndarray, *,
+                        emotion: str = "none", seed: Optional[int] = None,
+                        a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
+                        nfe=None, ode_method=None,
+                        uint8_transfer: bool = True, progress=None):
+        """Streaming generation: yields (start_frame, frames (k, S, S, 3)
+        float32 numpy in [0,1]) as soon as each decode chunk reaches the
+        host, instead of returning the whole clip at the end.
+
+        The sampler runs chunk-by-chunk (sampling.sample_motion_chunk —
+        same math and noise as the one-scan ``sample``) interleaved with
+        decode dispatch, so the device decodes chunk c while integrating
+        chunk c+1 and first frames arrive after ~one sampler chunk + one
+        decode chunk rather than after full sampling + full decode
+        (the streamed per-frame decode intent of reference FLOAT.py:113-169).
+        A bonus on slow-compile transports: the per-chunk sampler program
+        compiles ONCE for any clip length (no shape buckets).
+        """
+        from ..models.fmt import infer_cfg_mode
+        from .sampling import (sampler_init_carry, chunk_noise,
+                               pad_to_chunks)
+        from .decode import decode_latents_stream
+
+        cfg = self.cfg
+        t_frames = audio_num_frames(wave.shape[-1], cfg)
+        s_r, _lam, feats, r_s = self.encode_image(img)
+        _report(progress, "encode_image")
+        wa = self.encode_audio(wave, t_frames)
+        _report(progress, "encode_audio")
+        we = self.emotion_latent(wave, emotion)
+        _report(progress, "emotion")
+
+        key = jax.random.key(cfg.seed if seed is None else seed)
+        a_s = cfg.a_cfg_scale if a_cfg_scale is None else a_cfg_scale
+        e_s = cfg.e_cfg_scale if e_cfg_scale is None else e_cfg_scale
+        r_sc = cfg.r_cfg_scale if r_cfg_scale is None else r_cfg_scale
+        mode = infer_cfg_mode(a_s, r_sc, e_s, cfg.include_r_cfg)
+        nfe_ = cfg.nfe if nfe is None else nfe
+        method = cfg.ode_method if ode_method is None else ode_method
+
+        clip = cfg.num_frames_for_clip
+        n_chunks = math.ceil(t_frames / clip)
+        b = wa.shape[0]
+        wa_p = pad_to_chunks(wa, clip)
+        dynamic = we.shape[1] > 1
+        we_p = pad_to_chunks(we, clip) if dynamic else we
+
+        def latent_chunks():
+            carry = sampler_init_carry(b, cfg, wa.dtype)
+            done = 0
+            for c in range(n_chunks):
+                x0 = chunk_noise(key, c, b, cfg, wa.dtype)
+                wa_t = jax.lax.dynamic_slice_in_dim(wa_p, c * clip, clip, 1)
+                we_t = (jax.lax.dynamic_slice_in_dim(we_p, c * clip, clip, 1)
+                        if dynamic else we)
+                sample_t, carry = self._sample_chunk(
+                    self.params["fmt"], r_s, wa_t, we_t, carry, x0,
+                    jnp.float32(a_s), jnp.float32(e_s), jnp.float32(r_sc),
+                    nfe_, method, mode)
+                take = min(clip, t_frames - done)
+                done += take
+                _report(progress, "sample", c + 1, n_chunks)
+                yield sample_t[0, :take]
+
+        n_dchunks = math.ceil(t_frames / cfg.decode_batch)
+        cb = None
+        if progress is not None:
+            cb = lambda i, n: progress("decode", i + 1, n_dchunks)  # noqa: E731
+        yield from decode_latents_stream(
+            self._syn_cast, s_r, feats, latent_chunks(),
+            size=cfg.input_size, decode_batch=cfg.decode_batch,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn,
+            frame_callback=cb)
+
+    def generate_batch(self, imgs: jnp.ndarray, waves: jnp.ndarray, *,
+                       emotion: str = "none", seeds=None,
+                       a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
+                       nfe=None, ode_method=None, progress=None):
+        """B clips, data-parallel: ONE batched encode/sample pass over the
+        clip batch (under a mesh the batch shards over the ``data`` axis
+        via GSPMD), then all clips' decode chunks share one optimistic
+        dispatch stream with a single post-loop sync
+        (runtime.decode.decode_clips_to_host).
+
+        imgs (B, 3, S, S); waves (B, N) equal-length (pad upstream —
+        the API layer groups ragged batches).  ``seeds``: per-clip noise
+        seeds (list of B ints; default cfg.seed + i, matching the
+        reference's per-item seed+i, nodes.py:189-211).  Returns a list
+        of B (T, S, S, 3) float32 arrays.
+
+        Replaces the reference's serial pair loop
+        (reference: src/nodes/nodes.py:189-211) — the reference had no
+        alternative on one GPU; a frame-batched TPU decode does not care
+        which clip a chunk came from.
+        """
+        from .decode import decode_clips_to_host
+
+        cfg = self.cfg
+        bsz = imgs.shape[0]
+        assert waves.shape[0] == bsz, (imgs.shape, waves.shape)
+        if seeds is None:
+            seeds = [cfg.seed + i for i in range(bsz)]
+        t_frames = audio_num_frames(waves.shape[-1], cfg)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if bsz % self.mesh.shape.get("data", 1) == 0:
+                data_sh = NamedSharding(self.mesh, P("data"))
+                imgs = jax.device_put(imgs, data_sh)
+                waves = jax.device_put(waves, data_sh)
+
+        s_r, _lam, feats, r_s = self.encode_image(imgs)
+        _report(progress, "encode_image")
+        wa = self.encode_audio(waves, t_frames)
+        _report(progress, "encode_audio")
+        we = self.emotion_latent(waves, emotion)
+        if we.shape[0] == 1 and bsz > 1:       # named-emotion one-hot is B=1
+            we = jnp.broadcast_to(we, (bsz,) + we.shape[1:])
+        _report(progress, "emotion")
+
+        # per-clip noise seeds -> per-clip sampling (the per-chunk fold_in
+        # keys differ per clip, so the batch can't share one key); chunks
+        # of ALL clips still dispatch back-to-back (async) before decode.
+        r_ds = []
+        for i in range(bsz):
+            r_d = self.sample(r_s[i:i + 1], wa[i:i + 1],
+                              we[i:i + 1], seed=seeds[i],
+                              a_cfg_scale=a_cfg_scale,
+                              e_cfg_scale=e_cfg_scale,
+                              r_cfg_scale=r_cfg_scale,
+                              nfe=nfe, ode_method=ode_method)
+            r_ds.append(r_d[0])
+        _report(progress, "sample")
+
+        clips = [(s_r[i:i + 1], [f[i:i + 1] for f in feats], r_ds[i])
+                 for i in range(bsz)]
+        return decode_clips_to_host(
+            self._syn_cast, clips,
+            size=cfg.input_size, decode_batch=cfg.decode_batch,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            chunk_fn=self._chunk_fn,
+            frame_callback=_stage_cb(progress, "decode"))
 
 
 def build_synthetic_pipeline(cfg: FloatConfig = FloatConfig(),

@@ -55,6 +55,65 @@ def bucket_n_chunks(n: int) -> int:
     return math.ceil(n / 5) * 5
 
 
+def sample_motion_chunk(
+    fmt_params,
+    r_s: jnp.ndarray,                  # (B, dim_w)
+    wa_t: jnp.ndarray,                 # (B, clip, dim_a) this chunk's audio
+    we_t: jnp.ndarray,                 # (B, 1, E) static | (B, clip, E) dyn
+    carry,                             # (prev_x, prev_wa, prev_we)
+    x0: jnp.ndarray,                   # (B, clip, dim_w) chunk noise
+    *,
+    cfg: FloatConfig,
+    a_cfg_scale, e_cfg_scale, r_cfg_scale,
+    nfe: int, ode_method: str, cfg_mode: str,
+):
+    """ONE autoregressive chunk of the CFG-ODE sampler.
+
+    The python-level per-chunk form of ``sample_motion_latents``'s scan
+    body — identical math (same field, same carry contract) so a chunked
+    caller (runtime streaming mode: decode chunk c while integrating
+    chunk c+1) produces the same latents as the one-scan program.
+    Returns (sample_t (B, clip, dim_w), new_carry).
+    """
+    prev = cfg.num_prev_frames
+    dynamic = we_t.shape[1] > 1
+    prev_x, prev_wa, prev_we = carry
+    fmt_kw = dict(depth=cfg.fmt_depth, num_heads=cfg.num_heads,
+                  attention_window=cfg.attention_window)
+    cfg_kw = dict(a_cfg_scale=a_cfg_scale, e_cfg_scale=e_cfg_scale,
+                  r_cfg_scale=r_cfg_scale, include_r_cfg=cfg.include_r_cfg,
+                  cfg_mode=cfg_mode)
+
+    def field(tt, zt):
+        out = fmt_forward_cfg(
+            fmt_params, jnp.reshape(tt, (1,)), zt, wa_t, r_s, we_t,
+            prev_x, prev_wa,
+            prev_we if dynamic else None,
+            **cfg_kw, **fmt_kw)
+        return out[:, prev:]
+
+    time_grid = jnp.linspace(0.0, 1.0, nfe)
+    sample_t = odeint_fixed(field, x0, time_grid, method=ode_method)
+    new_prev_we = we_t[:, -prev:] if dynamic else prev_we
+    return sample_t, (sample_t[:, -prev:], wa_t[:, -prev:], new_prev_we)
+
+
+def sampler_init_carry(b: int, cfg: FloatConfig, dtype=jnp.float32):
+    """Zero autoregressive carry (prev_x, prev_wa, prev_we) for chunk 0."""
+    prev = cfg.num_prev_frames
+    return (jnp.zeros((b, prev, cfg.dim_w), dtype),
+            jnp.zeros((b, prev, cfg.dim_w), dtype),
+            jnp.zeros((b, prev, cfg.dim_e), dtype))
+
+
+def chunk_noise(key, c: int, b: int, cfg: FloatConfig, dtype=jnp.float32):
+    """Chunk c's noise — the same (key, c) fold_in the scan sampler uses,
+    so streamed and one-scan sampling share noise exactly."""
+    return jax.random.normal(jax.random.fold_in(key, c),
+                             (b, cfg.num_frames_for_clip, cfg.dim_w),
+                             dtype=dtype)
+
+
 def sample_motion_latents(
     fmt_params,
     r_s: jnp.ndarray,                 # (B, dim_w)
@@ -88,7 +147,6 @@ def sample_motion_latents(
 
     b, t_frames, dim_w = wa.shape
     clip = cfg.num_frames_for_clip
-    prev = cfg.num_prev_frames
     n_chunks = math.ceil(t_frames / clip)
     dynamic = we.shape[1] > 1
     dim_e = we.shape[2]
@@ -116,37 +174,19 @@ def sample_motion_latents(
         if noise.shape != (n_chunks, b, clip, dim_w):
             raise ValueError(f"noise shape {noise.shape} != {(n_chunks, b, clip, dim_w)}")
 
-    time_grid = jnp.linspace(0.0, 1.0, nfe)
-    fmt_kw = dict(depth=cfg.fmt_depth, num_heads=cfg.num_heads,
-                  attention_window=cfg.attention_window)
-    cfg_kw = dict(a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_s_scale,
-                  include_r_cfg=cfg.include_r_cfg, cfg_mode=cfg_mode)
-
     def chunk_step(carry, inputs):
-        prev_x, prev_wa, prev_we = carry
         if dynamic:
             x0, wa_t, we_t = inputs
         else:
             x0, wa_t = inputs
             we_t = we                      # static (B, 1, E), closed over
+        sample_t, new_carry = sample_motion_chunk(
+            fmt_params, r_s, wa_t, we_t, carry, x0, cfg=cfg,
+            a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_s_scale,
+            nfe=nfe, ode_method=method, cfg_mode=cfg_mode)
+        return new_carry, sample_t
 
-        def field(tt, zt):
-            out = fmt_forward_cfg(
-                fmt_params, jnp.reshape(tt, (1,)), zt, wa_t, r_s, we_t,
-                prev_x, prev_wa,
-                prev_we if dynamic else None,
-                **cfg_kw, **fmt_kw)
-            return out[:, prev:]
-
-        sample_t = odeint_fixed(field, x0, time_grid, method=method)
-        new_prev_we = we_t[:, -prev:] if dynamic else prev_we
-        return (sample_t[:, -prev:], wa_t[:, -prev:], new_prev_we), sample_t
-
-    init = (
-        jnp.zeros((b, prev, dim_w), wa.dtype),
-        jnp.zeros((b, prev, dim_w), wa.dtype),
-        jnp.zeros((b, prev, dim_e), wa.dtype),
-    )
+    init = sampler_init_carry(b, cfg, wa.dtype)
     xs = (noise, wa_chunks, we_chunks) if dynamic else (noise, wa_chunks)
     _, chunks = jax.lax.scan(chunk_step, init, xs)
 

@@ -48,10 +48,11 @@ def _load_audio(spec) -> np.ndarray:
 
 
 def run_workflow(wf: Dict[str, Any], output: str = "out",
-                 pipe=None) -> np.ndarray:
+                 pipe=None, progress=None) -> np.ndarray:
     """Execute a workflow config; returns the generated frames and writes
     ``output``.npy (frames) when requested.  ``pipe`` (a FloatPipe)
-    overrides checkpoint loading (tests / preloaded models)."""
+    overrides checkpoint loading (tests / preloaded models);
+    ``progress(stage, i, n)`` is threaded through to the stage calls."""
     from ..api import nodes as N
 
     mode = wf.get("mode", "default")
@@ -73,7 +74,8 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
         frames, _, _ = N.float_process(
             img[None], wave[None], pipe, a_cfg_scale=a_cfg,
             e_cfg_scale=e_cfg, fps=fps, emotion=emotion,
-            face_align=wf.get("face_align", False), seed=seed)
+            face_align=wf.get("face_align", False), seed=seed,
+            progress=progress)
 
     elif mode == "dynamic_emotion":
         cfg = pipe.cfg.replace(fps=fps)
@@ -93,7 +95,8 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
         r_d = N.float_sample_motion_sequence(pipe, r_s, wa, we,
                                              a_cfg_scale=a_cfg,
                                              e_cfg_scale=e_cfg, seed=seed)
-        frames, _ = N.float_decode_latents_to_images(pipe, app, r_d, fps)
+        frames, _ = N.float_decode_latents_to_images(pipe, app, r_d, fps,
+                                                     progress=progress)
 
     elif mode == "insert":
         from ..image.composite import composite_face_frames
@@ -107,7 +110,7 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
             frames_f, _, _ = N.float_process(
                 aligned, wave[None], pipe, a_cfg_scale=a_cfg,
                 e_cfg_scale=e_cfg, fps=fps, emotion=emotion,
-                seed=seed + face_idx - 1)
+                seed=seed + face_idx - 1, progress=progress)
             bg = composited if composited is not None else img
             composited = composite_face_frames(bg, frames_f, bboxes[0],
                                                feather=wf.get("feather", 0))

@@ -133,3 +133,90 @@ def test_pipeline_mesh_mode_matches_single_device(rng):
     qkv = mesh_pipe.params["fmt"]["blocks"]["0"]["attn"]["qkv"]["weight"]
     assert qkv.sharding.spec == P("model", None)
     assert mesh_pipe._chunk_fn is not None
+
+
+def test_mesh_dynamic_emotion_sampler_matches(rng):
+    """Dynamic per-frame emotion sampling under the mesh (TP FMT) ==
+    single-device (VERDICT r2 #6)."""
+    from float_tpu.runtime.pipeline import (FloatPipeline,
+                                            build_synthetic_pipeline)
+    from test_pipeline import TINY, TINY_W2V, TINY_SER
+
+    ref_pipe = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+    mesh = make_mesh(8)
+    mesh_pipe = FloatPipeline(ref_pipe.params, TINY.replace(decode_batch=8),
+                              TINY_W2V, TINY_SER, mesh=mesh)
+
+    img = jnp.asarray(rng.standard_normal(
+        (1, 3, TINY.input_size, TINY.input_size)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((1, 16000)).astype(np.float32) * 0.1)
+    from float_tpu.runtime.pipeline import audio_num_frames
+    t = audio_num_frames(16000, TINY)
+    e = np.exp(rng.standard_normal((1, t, TINY.dim_e)))
+    we = jnp.asarray((e / e.sum(-1, keepdims=True)).astype(np.float32))
+
+    s_r, _lam, feats, r_s = ref_pipe.encode_image(img)
+    wa = ref_pipe.encode_audio(wave, t)
+    ref_rd = ref_pipe.sample(r_s, wa, we, seed=4)
+    with mesh:
+        got_rd = mesh_pipe.sample(r_s, wa, we, seed=4)
+    np.testing.assert_allclose(np.asarray(got_rd), np.asarray(ref_rd),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_long_audio_bucketing_matches(rng):
+    """Long-audio shape bucketing (padded trailing chunks) under the mesh
+    == single-device, and the bucket really padded (VERDICT r2 #6)."""
+    import math
+    from float_tpu.runtime.pipeline import (FloatPipeline,
+                                            build_synthetic_pipeline,
+                                            audio_num_frames)
+    from float_tpu.runtime.sampling import bucket_n_chunks
+    from test_pipeline import TINY, TINY_W2V, TINY_SER
+
+    ref_pipe = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+    mesh = make_mesh(8)
+    mesh_pipe = FloatPipeline(ref_pipe.params, TINY.replace(decode_batch=8),
+                              TINY_W2V, TINY_SER, mesh=mesh)
+
+    img = jnp.asarray(rng.standard_normal(
+        (1, 3, TINY.input_size, TINY.input_size)).astype(np.float32) * 0.3)
+    # 6 sampler chunks -> bucket 10 (the >5 rounding kicks in)
+    n_samp = int(6 * TINY.num_frames_for_clip / TINY.fps * TINY.sampling_rate)
+    wave = jnp.asarray(rng.standard_normal((1, n_samp)).astype(np.float32) * 0.1)
+    t = audio_num_frames(n_samp, TINY)
+    assert bucket_n_chunks(math.ceil(t / TINY.num_frames_for_clip)) == 10
+
+    s_r, _lam, feats, r_s = ref_pipe.encode_image(img)
+    wa = ref_pipe.encode_audio(wave, t)
+    we = ref_pipe.emotion_latent(wave, "happy")
+    ref_rd = ref_pipe.sample(r_s, wa, we, seed=9)
+    with mesh:
+        got_rd = mesh_pipe.sample(r_s, wa, we, seed=9)
+    assert got_rd.shape == (1, t, TINY.dim_w)
+    np.testing.assert_allclose(np.asarray(got_rd), np.asarray(ref_rd),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_generate_batch_matches_serial(rng):
+    """generate_batch under the mesh: per-clip outputs identical to the
+    serial single-device path (VERDICT r2 #2 mesh criterion)."""
+    from float_tpu.runtime.pipeline import (FloatPipeline,
+                                            build_synthetic_pipeline)
+    from test_pipeline import TINY, TINY_W2V, TINY_SER
+
+    ref_pipe = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+    mesh = make_mesh(8)
+    mesh_pipe = FloatPipeline(ref_pipe.params, TINY.replace(decode_batch=8),
+                              TINY_W2V, TINY_SER, mesh=mesh)
+
+    imgs = jnp.asarray(rng.standard_normal((2, 3, TINY.input_size,
+                                            TINY.input_size)).astype(np.float32) * 0.3)
+    waves = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    with mesh:
+        outs = mesh_pipe.generate_batch(imgs, waves, emotion="happy",
+                                        seeds=[21, 22])
+    for i, seed in enumerate((21, 22)):
+        ref = np.asarray(ref_pipe.generate(imgs[i:i + 1], waves[i:i + 1],
+                                           emotion="happy", seed=seed))
+        np.testing.assert_allclose(outs[i], ref, atol=1 / 255.0 + 2e-4)

@@ -1,0 +1,379 @@
+"""Round-3 serving surface: streaming generation, batched clip decode,
+progress plumbing, video output.  Tiny synthetic config, CPU-runnable."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from float_tpu.config import FloatConfig
+from float_tpu.runtime.pipeline import build_synthetic_pipeline, audio_num_frames
+
+from test_pipeline import TINY, TINY_W2V, TINY_SER
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((1, 16000)).astype(np.float32) * 0.1)
+    return img, wave
+
+
+# ---------------------------------------------------------------------------
+# streaming generation
+# ---------------------------------------------------------------------------
+
+def test_generate_stream_matches_generate(pipe, inputs):
+    """Streamed chunks concatenate to EXACTLY the one-shot clip (same noise
+    via the shared (key, chunk) fold_in; same chunk math)."""
+    img, wave = inputs
+    ref = np.asarray(pipe.generate(img, wave, emotion="happy", seed=3))
+
+    starts, parts = [], []
+    for start, frames in pipe.generate_stream(img, wave, emotion="happy",
+                                              seed=3, uint8_transfer=False):
+        starts.append(start)
+        parts.append(frames)
+    got = np.concatenate(parts, axis=0)
+    assert starts == sorted(starts)
+    assert starts[0] == 0
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
+
+
+def _softmax(x):
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return (e / e.sum(axis=-1, keepdims=True)).astype(np.float32)
+
+
+def test_chunk_sampler_matches_scan_dynamic_emotion(pipe, inputs):
+    """The per-chunk sampler (streaming mode) reproduces the one-scan
+    sampler exactly — including dynamic (B, T, E) emotion with its
+    prev_we carry."""
+    import math
+    import jax
+    from float_tpu.runtime.sampling import (
+        sample_motion_latents, sample_motion_chunk, sampler_init_carry,
+        chunk_noise, pad_to_chunks)
+
+    img, wave = inputs
+    t = audio_num_frames(16000, TINY)
+    rng = np.random.default_rng(11)
+    we = jnp.asarray(_softmax(rng.standard_normal((1, t, 7))))
+    s_r, _lam, feats, r_s = pipe.encode_image(img)
+    wa = pipe.encode_audio(wave, t)
+
+    cfg = TINY
+    key = jax.random.key(5)
+    clip = cfg.num_frames_for_clip
+    n_chunks = math.ceil(t / clip)
+    ref_rd = sample_motion_latents(pipe.params["fmt"], r_s, wa, we,
+                                   cfg=cfg, key=key, cfg_mode="3way")
+    wa_p = pad_to_chunks(wa, clip)
+    we_p = pad_to_chunks(we, clip)
+    carry = sampler_init_carry(1, cfg, wa.dtype)
+    outs = []
+    for c in range(n_chunks):
+        x0 = chunk_noise(key, c, 1, cfg, wa.dtype)
+        sample_t, carry = sample_motion_chunk(
+            pipe.params["fmt"], r_s, wa_p[:, c * clip:(c + 1) * clip],
+            we_p[:, c * clip:(c + 1) * clip], carry, x0, cfg=cfg,
+            a_cfg_scale=cfg.a_cfg_scale, e_cfg_scale=cfg.e_cfg_scale,
+            r_cfg_scale=cfg.r_cfg_scale, nfe=cfg.nfe,
+            ode_method=cfg.ode_method, cfg_mode="3way")
+        outs.append(sample_t)
+    got_rd = jnp.concatenate(outs, axis=1)[:, :t]
+    np.testing.assert_allclose(np.asarray(got_rd), np.asarray(ref_rd),
+                               atol=1e-5, rtol=0)
+
+
+def test_generate_stream_first_chunk_before_full_sampling(pipe, inputs):
+    """The first decoded chunk must be yielded before the LAST sampler
+    chunk is integrated (the interleaving contract)."""
+    img, wave = inputs
+    order = []
+
+    def progress(stage, i, n):
+        order.append((stage, i, n))
+
+    gen = pipe.generate_stream(img, wave, emotion="happy", seed=3,
+                               progress=progress)
+    next(gen)
+    stages = [s for s, _i, _n in order]
+    # at least one sample-chunk report exists, and the generator yielded
+    # while sampling may still be in flight
+    assert "sample" in stages
+    list(gen)   # drain
+    n_sample = max(i for s, i, _n in order if s == "sample")
+    n_decode = max(i for s, i, _n in order if s == "decode")
+    assert n_sample >= 1 and n_decode >= 1
+
+
+# ---------------------------------------------------------------------------
+# batched clip serving
+# ---------------------------------------------------------------------------
+
+def test_decode_clips_matches_per_clip(pipe, inputs):
+    from float_tpu.runtime.decode import (decode_clips_to_host,
+                                          decode_latents_to_host)
+    img, wave = inputs
+    t = audio_num_frames(16000, TINY)
+    s_r, _lam, feats, r_s = pipe.encode_image(img)
+    wa = pipe.encode_audio(wave, t)
+    we = pipe.emotion_latent(wave, "happy")
+    r_d_a = pipe.sample(r_s, wa, we, seed=1)[0]
+    r_d_b = pipe.sample(r_s, wa, we, seed=2)[0, : t - 3]   # ragged length
+
+    clips = [(s_r, feats, r_d_a), (s_r, feats, r_d_b)]
+    outs = decode_clips_to_host(
+        pipe._syn_cast, clips, size=TINY.input_size,
+        decode_batch=TINY.decode_batch, compute_dtype=jnp.float32,
+        uint8_transfer=False)
+    for (s, f, rd), got in zip(clips, outs):
+        ref = decode_latents_to_host(
+            pipe._syn_cast, s, f, rd, size=TINY.input_size,
+            decode_batch=TINY.decode_batch, compute_dtype=jnp.float32,
+            uint8_transfer=False)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-6, rtol=0)
+
+
+def test_generate_batch_matches_serial(pipe, inputs):
+    img, wave = inputs
+    rng = np.random.default_rng(23)
+    img2 = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.3)
+    imgs = jnp.concatenate([img, img2], axis=0)
+    waves = jnp.concatenate([wave, wave * 0.5], axis=0)
+
+    outs = pipe.generate_batch(imgs, waves, emotion="happy",
+                               seeds=[15, 16])
+    assert len(outs) == 2
+    for i, seed in enumerate((15, 16)):
+        ref = np.asarray(pipe.generate(imgs[i:i + 1], waves[i:i + 1],
+                                       emotion="happy", seed=seed))
+        assert outs[i].shape == ref.shape
+        # uint8 wire quantization on the batch path
+        np.testing.assert_allclose(outs[i], ref, atol=1 / 255.0 + 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# progress plumbing
+# ---------------------------------------------------------------------------
+
+def test_float_process_progress_callbacks(pipe, inputs):
+    from float_tpu.api.nodes import float_process
+    from float_tpu.api.types import FloatPipe
+    img, wave = inputs
+    fp = FloatPipe(pipe, TINY, weights="synthetic")
+    events = []
+    frames, _a, _fps = float_process(
+        np.asarray(img[0]).transpose(1, 2, 0) * 0.5 + 0.5,
+        np.asarray(wave), fp, emotion="happy", progress=lambda *e: events.append(e))
+    t = audio_num_frames(wave.shape[-1], TINY)
+    import math
+    n_chunks = math.ceil(t / TINY.decode_batch)
+    sample_evs = [e for e in events if e[0] == "sample"]
+    decode_evs = [e for e in events if e[0] == "decode"]
+    assert sample_evs == [("sample", 1, 1)]
+    assert [e[1] for e in decode_evs] == list(range(1, n_chunks + 1))
+    assert all(e[2] == n_chunks for e in decode_evs)
+    assert frames.shape[0] == t
+
+
+def test_decode_to_host_progress_fires_on_completion(pipe, inputs):
+    img, wave = inputs
+    t = audio_num_frames(16000, TINY)
+    s_r, _lam, feats, r_s = pipe.encode_image(img)
+    wa = pipe.encode_audio(wave, t)
+    we = pipe.emotion_latent(wave, "happy")
+    r_d = pipe.sample(r_s, wa, we, seed=1)
+    events = []
+    pipe.decode_to_host(s_r, feats, r_d,
+                        progress=lambda *e: events.append(e))
+    import math
+    n_chunks = math.ceil(t / TINY.decode_batch)
+    assert [e[1] for e in events] == list(range(1, n_chunks + 1))
+
+
+# ---------------------------------------------------------------------------
+# video output
+# ---------------------------------------------------------------------------
+
+def test_write_video_silent_plus_wav_sidecar(tmp_path):
+    from float_tpu.io.video import write_video, write_wav, have_ffmpeg
+    rng = np.random.default_rng(0)
+    frames = rng.random((8, 32, 32, 3)).astype(np.float32)
+    audio = (rng.random(16000).astype(np.float32) - 0.5) * 0.1
+    out = str(tmp_path / "clip.mp4")
+    audio_path = write_video(out, frames, 25.0, audio=audio,
+                             sample_rate=16000)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    if have_ffmpeg():
+        assert audio_path == out
+    else:
+        assert audio_path.endswith(".wav") and os.path.exists(audio_path)
+        import wave as wavmod
+        with wavmod.open(audio_path, "rb") as w:
+            assert w.getframerate() == 16000
+            assert w.getnframes() == 16000
+
+
+def test_write_video_from_chunks(tmp_path):
+    from float_tpu.io.video import write_video
+    rng = np.random.default_rng(1)
+    chunks = [rng.random((3, 32, 32, 3)).astype(np.float32)
+              for _ in range(3)]
+    out = str(tmp_path / "chunks.mp4")
+    write_video(out, iter(chunks), 25.0)
+    assert os.path.getsize(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# face-align custom-detector error mapping (ADVICE r2)
+# ---------------------------------------------------------------------------
+
+def test_custom_detector_import_error_not_swallowed():
+    from float_tpu.image.face_align import detect_faces
+
+    def broken_detector(img):
+        raise ImportError("my_private_dep is missing")
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ImportError, match="my_private_dep"):
+        detect_faces(img, detector=broken_detector, allow_fallback=True)
+
+
+# ---------------------------------------------------------------------------
+# warp-profile persistence (readiness gate, runtime/decode.py)
+# ---------------------------------------------------------------------------
+
+def test_warp_profile_roundtrip(tmp_path):
+    from float_tpu.runtime import decode as D
+    old = dict(D._DISP_RATCHET)
+    try:
+        D._DISP_RATCHET.clear()
+        D.seed_ratchet(512, (3, 2, 4))
+        assert D._ratchet_get(512) == (3, 2, 4)
+        path = str(tmp_path / "warp_profile.json")
+        D.save_warp_profile(path, checkpoint="x.safetensors")
+        D._DISP_RATCHET.clear()
+        prof = D.load_warp_profile(path)
+        assert prof["checkpoint"] == "x.safetensors"
+        assert D._ratchet_get(512) == (3, 2, 4)
+        # monotone: seeding below the current ratchet never shrinks it
+        D.seed_ratchet(512, (2, 2, 2))
+        assert D._ratchet_get(512) == (3, 2, 4)
+        # caps at MAX_WARP_DISP, floors at DEFAULT_WARP_DISP
+        D._DISP_RATCHET.clear()
+        D.seed_ratchet(512, (1, 99, 3))
+        assert D._ratchet_get(512) == (2, D.MAX_WARP_DISP, 3)
+        with pytest.raises(ValueError):
+            D.seed_ratchet(512, (2, 2))
+        # missing profile file is a no-op
+        assert D.load_warp_profile(str(tmp_path / "nope.json")) == {}
+    finally:
+        D._DISP_RATCHET.clear()
+        D._DISP_RATCHET.update(old)
+
+
+def test_ratchet_bumps_on_flag_with_low_probe_stat():
+    """ADVICE r2 (medium): when a level's overflow flag fires but the
+    4-frame probe subset missed the big flow, the ratchet must still grow
+    (else every clip pays the double decode forever)."""
+    import jax.numpy as jnp
+    from float_tpu.runtime import decode as D
+    old = dict(D._DISP_RATCHET)
+    try:
+        D._DISP_RATCHET.clear()
+        D._PATH_RATCHET.clear()
+        size = 512
+        assert D._ratchet_get(size) == (2, 2, 2)
+        # flags layout: per level [beyond-D ovf, max spread]
+        stats = [jnp.asarray([2, 2, 2], jnp.int32)]      # probe saw <= D
+        flags = [jnp.asarray([0, 1, 1, 2, 0, 1], jnp.int32)]  # lvl1 overflowed
+        redo = D._sync_stats_flags(size, stats, flags, ("auto",) * 3)
+        assert redo == [0]
+        assert D._ratchet_get(size) == (2, 3, 2)         # bumped by 1
+        # and a plain stats-driven grow still works
+        stats = [jnp.asarray([4, 2, 2], jnp.int32)]
+        flags = [jnp.asarray([1, 4, 0, 2, 0, 1], jnp.int32)]
+        D._sync_stats_flags(size, stats, flags, ("auto",) * 3)
+        assert D._ratchet_get(size) == (4, 3, 2)
+    finally:
+        D._DISP_RATCHET.clear()
+        D._DISP_RATCHET.update(old)
+
+
+def test_path_ratchet_select_and_demote():
+    """Trace-time fast-path selection: first observation picks the
+    smallest covering path; later bigger spreads demote (never promote);
+    spread misses mark chunks for re-decode."""
+    import jax.numpy as jnp
+    from float_tpu.runtime import decode as D
+    oldd, oldp = dict(D._DISP_RATCHET), dict(D._PATH_RATCHET)
+    try:
+        D._DISP_RATCHET.clear()
+        D._PATH_RATCHET.clear()
+        size = 512
+        assert D._path_get(size) == ("auto", "auto", "auto")
+        # first clip (dispatched auto): spreads 1 / 3 / 5 per level
+        stats = [jnp.asarray([2, 2, 2], jnp.int32)]
+        flags = [jnp.asarray([0, 1, 0, 3, 0, 5], jnp.int32)]
+        redo = D._sync_stats_flags(size, stats, flags, ("auto",) * 3)
+        assert redo == []                      # auto covers everything
+        assert D._path_get(size) == ("fast4", "fast6", "auto")
+        # next clip dispatched with those paths; level 0 now spreads 3
+        flags = [jnp.asarray([0, 3, 0, 3, 0, 2], jnp.int32)]
+        redo = D._sync_stats_flags(size, stats, flags,
+                                   ("fast4", "fast6", "auto"))
+        assert redo == [0]                     # fast4 capacity 2 < 3
+        assert D._path_get(size) == ("fast6", "fast6", "auto")
+        # no promotion back on a later small-spread clip
+        flags = [jnp.asarray([0, 0, 0, 0, 0, 0], jnp.int32)]
+        D._sync_stats_flags(size, stats, flags, D._path_get(size))
+        assert D._path_get(size) == ("fast6", "fast6", "auto")
+        # spread -1 (no stat) keeps auto and never redoes
+        D._PATH_RATCHET.clear()
+        flags = [jnp.asarray([0, -1, 0, -1, 0, -1], jnp.int32)]
+        redo = D._sync_stats_flags(size, stats, flags, ("auto",) * 3)
+        assert redo == []
+        assert D._path_get(size) == ("auto", "auto", "auto")
+    finally:
+        D._DISP_RATCHET.clear(); D._DISP_RATCHET.update(oldd)
+        D._PATH_RATCHET.clear(); D._PATH_RATCHET.update(oldp)
+
+
+# ---------------------------------------------------------------------------
+# SER long-audio bound (windowed prediction past ser_max_sec)
+# ---------------------------------------------------------------------------
+
+def test_predict_emotion_windowed_long_audio(inputs):
+    """Clips beyond cfg.ser_max_sec split into windows whose scores are
+    length-weight-averaged — the compiled programs only ever see window-
+    sized inputs (the memory bound)."""
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline
+    cfg = TINY.replace(ser_max_sec=0.5)          # 8000-sample windows
+    p = build_synthetic_pipeline(cfg, TINY_W2V, TINY_SER)
+
+    rng = np.random.default_rng(3)
+    wave = jnp.asarray(rng.standard_normal((1, 20000)).astype(np.float32) * 0.1)
+    got = p.predict_emotion(wave)
+    assert got.shape == (1, 7)
+    # manual expectation: 8000 + 8000 + 4000 windows, weighted average
+    s1 = p._emotion(p.params["emotion"], wave[:, :8000])
+    s2 = p._emotion(p.params["emotion"], wave[:, 8000:16000])
+    s3 = p._emotion(p.params["emotion"], wave[:, 16000:])
+    ref = (np.asarray(s1) * 8000 + np.asarray(s2) * 8000
+           + np.asarray(s3) * 4000) / 20000.0
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+    # short clips keep the single-pass path
+    short = p.predict_emotion(wave[:, :4000])
+    np.testing.assert_allclose(
+        np.asarray(short),
+        np.asarray(p._emotion(p.params["emotion"], wave[:, :4000])), atol=0)

@@ -125,18 +125,21 @@ def test_optimistic_redecode_splice():
 
     def fake_fn(params, wa_c, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
-                warp_disp=2, with_stats=False, fixup=True):
+                warp_disp=2, with_stats=False, fixup=True,
+                warp_path="auto"):
         ci = int(np.asarray(wa_c)[0, 0])
         calls.append((ci, fixup))
         img = jnp.full((wa_c.shape[0], 4, 4, 3),
                        ci * 10 + (0 if fixup else 1), jnp.float32)
         stats = jnp.asarray([2])
-        flags = jnp.asarray([1 if ci == 2 else 0])
+        # flags layout: per level [beyond-D ovf, max spread]
+        flags = jnp.asarray([1 if ci == 2 else 0, 2])
         if with_stats and not fixup:
             return img, stats, flags
         return (img, stats) if with_stats else img
 
     D._DISP_RATCHET.pop(4, None)
+    D._PATH_RATCHET.pop(4, None)
     r_d = jnp.repeat(jnp.arange(4, dtype=jnp.float32)[:, None], 8, axis=0)
     frames = D.decode_latents(
         {}, jnp.zeros((1, 1)), [], r_d.reshape(32, 1)[:, :1] * 0 +
@@ -157,19 +160,22 @@ def test_optimistic_redecode_to_host():
     uint8 wire scaling and last-chunk truncation."""
     def fake_fn(params, wa_c, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
-                warp_disp=2, with_stats=False, fixup=True):
+                warp_disp=2, with_stats=False, fixup=True,
+                warp_path="auto"):
         ci = int(np.asarray(wa_c)[0, 0])
         val = ci * 10 + (0 if fixup else 1)
         img = jnp.full((wa_c.shape[0], 4, 4, 3), val, jnp.float32)
         if out_u8:
             img = img.astype(jnp.uint8)
         stats = jnp.asarray([2])
-        flags = jnp.asarray([1 if ci == 1 else 0])
+        flags = jnp.asarray([1 if ci == 1 else 0, 2])
         if with_stats and not fixup:
             return img, stats, flags
         return (img, stats) if with_stats else img
 
     from float_tpu.runtime.decode import decode_latents_to_host
+    D._DISP_RATCHET.pop(4, None)
+    D._PATH_RATCHET.pop(4, None)
     r_d = jnp.repeat(jnp.arange(3.0), 8)[:, None][:20]   # 20 frames, 3 chunks
     out = decode_latents_to_host(
         {}, jnp.zeros((1, 1)), [], r_d, size=4, decode_batch=8,
@@ -179,3 +185,58 @@ def test_optimistic_redecode_to_host():
     assert np.allclose(vals[:8], 1)         # optimistic chunk 0
     assert np.allclose(vals[8:16], 10)      # chunk 1 re-decoded (fixup)
     assert np.allclose(vals[16:], 21)       # truncated last chunk, optimistic
+
+
+def test_packed_torgb_blockdiag_math(rng=None):
+    """The packed last-level ToRGB algebra: kron(I_groups, W)·packed ==
+    per-frame 1x1 conv, and conv(warped·mask) == mask·conv(warped)."""
+    import math
+    rng = np.random.default_rng(4)
+    groups, c, b, h = 4, 32, 16, 8
+    cg = 128 // groups
+    warped = rng.standard_normal((b, h, h, c)).astype(np.float32)
+    mask = rng.random((b, h, h, 1)).astype(np.float32)
+    w0 = rng.standard_normal((3, c)).astype(np.float32)
+    scale = 1.0 / math.sqrt(c)
+
+    # reference: per-frame equalized 1x1 conv of warped*mask
+    ref = np.einsum("bhwc,oc->bhwo", warped * mask, w0 * scale)
+
+    # pack frames into lanes the way the kernel does:
+    # packed[bg, :, :, g*cg+ch] = warped[bg*groups+g, :, :, ch]
+    packed = np.zeros((b // groups, h, h, 128), np.float32)
+    for f in range(b):
+        bg, g = f // groups, f % groups
+        packed[bg, :, :, g * cg:g * cg + c] = warped[f]
+
+    wblk = np.kron(np.eye(groups, dtype=np.float32), w0 * scale)
+    rgb_p = np.einsum("bhwk,ok->bhwo", packed, wblk)
+    rgb = rgb_p.reshape(b // groups, h, h, groups, 3)
+    rgb = rgb.transpose(0, 3, 1, 2, 4).reshape(b, h, h, 3)
+    rgb = rgb * mask          # the commuted mask multiply
+    np.testing.assert_allclose(rgb, ref, atol=1e-5)
+
+
+def test_synthesis_cl_packed_last_level_cpu_fallback(rng=None):
+    """On CPU (no Mosaic) the packed-last-level branch must NOT activate
+    (v2_eligible false for f32) and synthesis_cl stays consistent between
+    optimistic and fixup programs."""
+    import jax.numpy as jnp
+    from float_tpu.models.init import init_synthesis, init_encoder
+    from float_tpu.models.encoder import encode_image
+    from float_tpu.models.synthesis import synthesis_cl
+    rng = np.random.default_rng(5)
+
+    enc = init_encoder(64, 32, 20, seed=1)
+    dec = init_synthesis(64, 32, 20, seed=2)
+    x = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
+    h, _, feats = encode_image(enc, x, 64, 32)
+    wa = h + jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32) * 0.1)
+    feats_cl = [jnp.transpose(f, (0, 2, 3, 1)) for f in feats]
+
+    ref, _ = synthesis_cl(dec, wa, feats_cl, 64)
+    img, _, stats, flags = synthesis_cl(dec, wa, feats_cl, 64,
+                                        collect_flow_stats=True,
+                                        apply_fixup=False)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+    assert flags.shape == (0,)          # no kernel levels at 64²

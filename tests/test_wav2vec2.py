@@ -154,3 +154,93 @@ def test_stacked_feature_layout(rng):
         np.testing.assert_array_equal(
             np.asarray(stacked[..., layer * h:(layer + 1) * h]),
             np.asarray(out.hidden_states[layer + 1]))
+
+
+def test_masked_standard_forward_parity(rng):
+    """Unequal-length batch with attention mask == HF Wav2Vec2Model given
+    the same mask (the xlsr-style SER path: return_attention_mask=true;
+    reference passes the extractor mask into the model,
+    wav2vec2_ser.py:77-86)."""
+    from float_tpu.audio.features import (extract_features,
+                                          FeatureExtractorConfig)
+    from float_tpu.models.wav2vec2 import feature_vector_attention_mask
+
+    model, cfg = make_pair("large")
+    fe = FeatureExtractorConfig(return_attention_mask=True)
+    waves = [rng.standard_normal(1600).astype(np.float32),
+             rng.standard_normal(1100).astype(np.float32)]
+    batch, mask = extract_features(waves, fe, return_mask=True)
+    assert mask[0].sum() == 1600 and mask[1].sum() == 1100
+
+    with torch.no_grad():
+        ref = model(torch.as_tensor(batch),
+                    attention_mask=torch.as_tensor(mask)).last_hidden_state
+    params = to_pytree(model)
+    got = wav2vec2_standard(params, jnp.asarray(batch), cfg,
+                            attention_mask=jnp.asarray(mask))
+    # frame mask parity vs HF's own downsampling
+    t_conv = got.shape[1]
+    hf_mask = model._get_feature_vector_attention_mask(
+        t_conv, torch.as_tensor(mask))
+    ours_mask = feature_vector_attention_mask(jnp.asarray(mask), t_conv, cfg)
+    np.testing.assert_array_equal(np.asarray(ours_mask), hf_mask.numpy())
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_masked_extractor_normalizes_per_item(rng):
+    """return_attention_mask=true: each item normalized over its OWN
+    samples then padded (HF order); =false: pad first, normalize padded."""
+    from float_tpu.audio.features import (extract_features,
+                                          FeatureExtractorConfig)
+    w = rng.standard_normal(1000).astype(np.float32) * 3 + 1
+    masked_fe = FeatureExtractorConfig(return_attention_mask=True)
+    batch, mask = extract_features([w, w[:600]], masked_fe, return_mask=True)
+    # item 0: plain zero-mean/unit-var over its full length
+    np.testing.assert_allclose(batch[0].mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(batch[0].std(), 1.0, atol=1e-3)
+    # item 1: normalized over its own 600 samples, zero-padded after
+    np.testing.assert_allclose(batch[1, :600].mean(), 0.0, atol=1e-5)
+    assert (batch[1, 600:] == 0).all()
+    assert mask[1, 600:].sum() == 0
+
+
+def test_ser_logits_masked_vs_reference_module(rng):
+    """Full SER classifier on a ragged batch vs the reference's actual
+    Wav2Vec2ForSpeechClassification (imported, not copied)."""
+    ro = pytest.importorskip("ref_oracle")
+    if not ro.HAVE_REFERENCE:
+        pytest.skip("reference repo not mounted")
+    from pathlib import Path
+    from float_tpu.audio.features import (extract_features,
+                                          FeatureExtractorConfig)
+    ser_mod = ro._load("ref_wav2vec2_ser",
+                       Path("/root/reference/src/nodes/models/wav2vec2_ser.py"))
+
+    hf_cfg = HFConfig(**SMALL, feat_extract_norm="layer", conv_bias=True,
+                      do_stable_layer_norm=True, num_labels=7)
+    hf_cfg.pooling_mode = "mean"
+    hf_cfg.final_dropout = 0.0
+    torch.manual_seed(1)
+    ref_model = ser_mod.Wav2Vec2ForSpeechClassification(hf_cfg).eval()
+
+    ours_cfg = Wav2Vec2Config(**SMALL, feat_extract_norm="layer",
+                              conv_bias=True, do_stable_layer_norm=True,
+                              num_labels=7)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = flat_to_pytree(sd)
+    # the reference nests the tower under 'wav2vec2'
+    tower = params["wav2vec2"]
+    tower["classifier"] = params["classifier"]
+
+    fe = FeatureExtractorConfig(return_attention_mask=True)
+    waves = [rng.standard_normal(1600).astype(np.float32),
+             rng.standard_normal(900).astype(np.float32)]
+    batch, mask = extract_features(waves, fe, return_mask=True)
+    with torch.no_grad():
+        ref = ref_model(torch.as_tensor(batch),
+                        attention_mask=torch.as_tensor(mask)).logits
+    got = ser_logits(tower, jnp.asarray(batch), ours_cfg,
+                     attention_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)

@@ -92,18 +92,56 @@ def main():
         print(f"{'OK ' if ok else 'FAIL'} flag amp={amp}: needed={need} "
               f"D={d} flag={flagged}")
 
-    # 3. timings
+    # 2b. trace-time fast paths: exact whenever the reported spread fits
+    # the path's capacity, and the spread stat itself must be honest
+    # (the decode path ratchet's correctness contract)
+    for (h, c) in [(512, 32), (256, 64)]:
+        feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
+        for amp, d in ((0.6, 2), (1.3, 2), (2.6, 3)):
+            grid = smooth_grid(jax.random.fold_in(key, 900 + h + int(amp * 10)),
+                               b, h, h, amp)
+            ref = grid_sample_bilinear_nhwc(
+                jnp.broadcast_to(feat, (b,) + feat.shape[1:]), grid)
+            _, flags_auto = warp_shared_feat_v2(feat, grid, max_disp=d,
+                                                apply_fixup=False)
+            spread = int(flags_auto[1])
+            for path, cap in (("fast4", 2), ("fast6", 4)):
+                out, flags = warp_shared_feat_v2(feat, grid, max_disp=d,
+                                                 apply_fixup=False, path=path)
+                if spread <= cap and int(flags_auto[0]) == 0:
+                    err = float(jnp.max(jnp.abs(
+                        out.astype(jnp.float32) - ref.astype(jnp.float32))))
+                    ok = err < 6.3e-2
+                    failures += not ok
+                    print(f"{'OK ' if ok else 'FAIL'} path {path} {h}² "
+                          f"amp={amp} D={d} spread={spread}: "
+                          f"max|err|={err:.2e}")
+                else:
+                    # miss case: the path's own spread stat must flag it
+                    ok = int(flags[1]) == spread
+                    failures += not ok
+                    print(f"{'OK ' if ok else 'FAIL'} path {path} {h}² "
+                          f"amp={amp} D={d}: miss reported "
+                          f"spread={int(flags[1])} (auto saw {spread})")
+
+    # 3. timings (auto cond chain vs the trace-time cond-free paths)
     for (h, c) in [(512, 32), (256, 64), (128, 128)]:
         feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
         grid = smooth_grid(jax.random.fold_in(key, h), b, h, h, 1.2)
-        f = jax.jit(lambda ft, g: warp_shared_feat_v2(ft, g, max_disp=2))
-        sync(f(feat, grid))
-        t0 = time.perf_counter()
-        for _ in range(20):
-            y = f(feat, grid)
-        sync(y)
-        print(f"time {h}²×{c} D=2: {(time.perf_counter()-t0)/20*1e3:.2f} ms "
-              f"(16 frames)")
+        row = f"time {h}²×{c} D=2:"
+        for label, kw in (("auto", dict()),
+                          ("fast4", dict(apply_fixup=False, path="fast4")),
+                          ("fast6", dict(apply_fixup=False, path="fast6"))):
+            f = jax.jit(lambda ft, g, kw=kw: warp_shared_feat_v2(
+                ft, g, max_disp=2, **kw))
+            out = f(feat, grid)
+            sync(out[0] if isinstance(out, tuple) else out)
+            t0 = time.perf_counter()
+            for _ in range(20):
+                y = f(feat, grid)
+            sync(y[0] if isinstance(y, tuple) else y)
+            row += f"  {label} {(time.perf_counter()-t0)/20*1e3:.2f} ms"
+        print(row + "  (16 frames)")
 
     print(f"\n{'PASS' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
