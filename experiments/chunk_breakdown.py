@@ -38,16 +38,20 @@ def build_chunk():
     r_d = pipe.sample(r_s, wa, we, seed=15)[0]
 
     from float_tpu.runtime import decode as D
+    # converge the D + path ratchets so we profile the PRODUCTION programs
+    pipe.decode(s_r, feats, r_d[:64])
     dtype = jnp.bfloat16
     wa_full = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dtype)
     feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
     params_c = pipe._syn_cast
     disp = D._ratchet_get(512)
-    print("ratchet D:", disp)
+    paths = D._path_get(512)
+    print("ratchet D:", disp, "paths:", paths)
 
     def chunk(wa_c):
         return D._decode_chunk(params_c, wa_c, feats_c, 512,
-                               warp_disp=disp, with_stats=True, fixup=False)
+                               warp_disp=disp, with_stats=True, fixup=False,
+                               warp_path=paths)
 
     return chunk, wa_full, cfg
 
