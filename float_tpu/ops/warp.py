@@ -22,16 +22,29 @@ import jax.numpy as jnp
 from jax import lax
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _identity_grid_np(size: int, dtype_name: str):
+    import numpy as np
+    xs = np.linspace(-1.0, 1.0, size, dtype=dtype_name)
+    gx, gy = np.meshgrid(xs, xs)
+    return np.stack([gx, gy], axis=-1)
+
+
 def identity_grid(size: int, dtype=jnp.float32) -> jnp.ndarray:
     """(H, W, 2) identity sampling grid in [-1, 1], xy order.
 
     Matches the reference's ``np.linspace(-1, 1, size)`` meshgrid
     (styledecoder.py:404-406): grid[..., 0] = x varies along W,
     grid[..., 1] = y varies along H.
-    """
-    xs = jnp.linspace(-1.0, 1.0, size, dtype=dtype)
-    gx, gy = jnp.meshgrid(xs, xs)          # both (H, W); gx varies along axis 1
-    return jnp.stack([gx, gy], axis=-1)
+
+    Built in NUMPY (cached) so inside jit it traces as a literal
+    constant: the jnp linspace/meshgrid form was re-COMPUTED on device
+    every decode chunk (~1.3 ms/chunk of kLoop fusions at 512², XLA's
+    constant folding stops below that size)."""
+    return jnp.asarray(_identity_grid_np(size, jnp.dtype(dtype).name))
 
 
 def _axis_weights(i0, frac, size):
