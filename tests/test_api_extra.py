@@ -171,3 +171,40 @@ def test_encode_audio_with_prev(rng):
     wa = encode_audio_with_prev(params, wave, prev, TINY, TINY_W2V)
     assert wa.shape == (1, TINY.num_prev_frames + TINY.num_frames_for_clip,
                         TINY.dim_w)
+
+
+def test_readiness_check_load_gate(tmp_path):
+    """tools/readiness_check.py load gate on a tiny unified checkpoint
+    (probe and parity gates skipped: probe needs the full-size config)."""
+    import subprocess
+    import sys
+    import os
+    from test_pipeline import TINY, TINY_W2V, TINY_SER
+    from test_api import _flatten
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline
+    from safetensors.numpy import save_file
+
+    p = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER).params
+    flat = {}
+    flat.update(_flatten(p["encoder"], "motion_autoencoder.enc"))
+    flat.update(_flatten(p["synthesis"], "motion_autoencoder.dec"))
+    flat.update(_flatten(p["audio_encoder"]["wav2vec2"], "audio_encoder.wav2vec2"))
+    flat.update(_flatten(p["audio_encoder"]["audio_projection"],
+                         "audio_encoder.audio_projection"))
+    emo = dict(p["emotion"])
+    cls = emo.pop("classifier")
+    flat.update(_flatten(emo, "emotion_encoder.wav2vec2_for_emotion.wav2vec2"))
+    flat.update(_flatten(cls, "emotion_encoder.wav2vec2_for_emotion.classifier"))
+    flat.update(_flatten(p["fmt"], "fmt"))
+    path = str(tmp_path / "FLOAT.safetensors")
+    save_file(flat, path)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "tools/readiness_check.py", "--checkpoint", path,
+         "--skip-probe"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "READY" in res.stdout
+    assert "[load] ok" in res.stdout
