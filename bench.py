@@ -30,7 +30,9 @@ def main():
     from float_tpu.io.checkpoint import load_unified_checkpoint
     from float_tpu.runtime.pipeline import FloatPipeline
 
-    cfg = FloatConfig(compute_dtype="bfloat16", decode_batch=16)
+    cfg = FloatConfig(compute_dtype="bfloat16",
+                      decode_batch=int(os.environ.get("FLOAT_DECODE_BATCH",
+                                                      "16")))
 
     ckpt = os.environ.get("FLOAT_CKPT", "models/float/FLOAT.safetensors")
     if os.path.exists(ckpt):

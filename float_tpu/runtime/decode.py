@@ -259,7 +259,8 @@ def _ratchet_apply_max(size: int, all_stats: list) -> tuple:
 # (the flagged chunks re-decode with the auto program — same safety
 # pattern as the D ratchet).
 
-_PATH_CAPACITY = {"fast4": 2, "fast6": 4, "auto": 1 << 30}
+_PATH_CAPACITY = {"fast4": 2, "fast5": 3, "fast6": 4,
+                  "auto": 1 << 30}
 _PATH_RATCHET: dict = {}       # size -> tuple[str] per kernel level
 
 
@@ -271,6 +272,8 @@ def _path_get(size: int) -> tuple:
 def _path_for_spread(sp: int) -> str:
     if sp <= 2:
         return "fast4"
+    if sp <= 3:
+        return "fast5"
     if sp <= 4:
         return "fast6"
     return "auto"

@@ -105,7 +105,7 @@ def main():
             _, flags_auto = warp_shared_feat_v2(feat, grid, max_disp=d,
                                                 apply_fixup=False)
             spread = int(flags_auto[1])
-            for path, cap in (("fast4", 2), ("fast6", 4)):
+            for path, cap in (("fast4", 2), ("fast5", 3), ("fast6", 4)):
                 out, flags = warp_shared_feat_v2(feat, grid, max_disp=d,
                                                  apply_fixup=False, path=path)
                 if spread <= cap and int(flags_auto[0]) == 0:
@@ -131,6 +131,7 @@ def main():
         row = f"time {h}²×{c} D=2:"
         for label, kw in (("auto", dict()),
                           ("fast4", dict(apply_fixup=False, path="fast4")),
+                          ("fast5", dict(apply_fixup=False, path="fast5")),
                           ("fast6", dict(apply_fixup=False, path="fast6"))):
             f = jax.jit(lambda ft, g, kw=kw: warp_shared_feat_v2(
                 ft, g, max_disp=2, **kw))
