@@ -32,7 +32,9 @@ def main():
 
     cfg = FloatConfig(compute_dtype="bfloat16",
                       decode_batch=int(os.environ.get("FLOAT_DECODE_BATCH",
-                                                      "16")))
+                                                      "16")),
+                      sampler_dtype=os.environ.get("FLOAT_SAMPLER_DTYPE",
+                                                   "float32"))
 
     ckpt = os.environ.get("FLOAT_CKPT", "models/float/FLOAT.safetensors")
     if os.path.exists(ckpt):

@@ -92,6 +92,12 @@ class FloatConfig:
     param_dtype: str = "float32"         # storage precision of weights
     decode_batch: int = 8                # frames decoded per Synthesis forward
     use_pallas: bool = True              # enable Pallas kernels where available
+    # FMT sampler compute precision.  float32 (default) matches the
+    # reference's torch path; bfloat16 roughly doubles the CFG-ODE
+    # stage's MFU (the sampler is the only stage that scales with clip
+    # length and cannot frame-parallelize) at ~1e-2 relative latent
+    # error — opt-in until trained-weight quality is validated.
+    sampler_dtype: str = "float32"
     # SER memory bound: clips longer than this predict emotion over
     # fixed-length windows (scores averaged, weighted by window length) —
     # the full-clip wav2vec2-large attention is O(T²) and a 5-min clip

@@ -51,7 +51,9 @@ def _rk_step(f: Callable, t0, dt, y0, method: str):
             continue
         term = dt * bj * kj
         dy = term if dy is None else dy + term
-    return y0 + dy
+    # keep the state dtype: an f32 time grid would otherwise promote a
+    # reduced-precision state (sampler_dtype=bfloat16) to f32 mid-scan
+    return (y0 + dy).astype(y0.dtype)
 
 
 def odeint_fixed(

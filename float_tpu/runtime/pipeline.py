@@ -130,13 +130,20 @@ class FloatPipeline:
 
         # CFG scales are traced (changing them does NOT recompile); only the
         # structural cfg_mode / nfe / solver are static.
+        sdt = jnp.dtype(cfg.sampler_dtype)
+
         @partial(jax.jit, static_argnames=("nfe", "method", "cfg_mode"))
         def _sample(fmt_params, r_s, wa, we, key, a_s, e_s, r_s_scale,
                     nfe, method, cfg_mode):
-            return sample_motion_latents(
-                fmt_params, r_s, wa, we, cfg=cfg, key=key,
+            # sampler_dtype: the dtype of wa drives every FMT matmul
+            # (models/fmt casts weights to the activation dtype, f32
+            # accumulate); r_d returns as f32 for the decode
+            r_d = sample_motion_latents(
+                fmt_params, r_s.astype(sdt), wa.astype(sdt),
+                we.astype(sdt), cfg=cfg, key=key,
                 a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_s_scale,
                 nfe=nfe, ode_method=method, cfg_mode=cfg_mode)
+            return r_d.astype(jnp.float32)
 
         self._sample = _sample
 
@@ -147,10 +154,13 @@ class FloatPipeline:
         def _sample_chunk(fmt_params, r_s, wa_t, we_t, carry, x0,
                           a_s, e_s, r_sc, nfe, method, cfg_mode):
             from .sampling import sample_motion_chunk
-            return sample_motion_chunk(
-                fmt_params, r_s, wa_t, we_t, carry, x0, cfg=cfg,
+            out, new_carry = sample_motion_chunk(
+                fmt_params, r_s.astype(sdt), wa_t.astype(sdt),
+                we_t.astype(sdt), jax.tree.map(lambda a: a.astype(sdt), carry),
+                x0.astype(sdt), cfg=cfg,
                 a_cfg_scale=a_s, e_cfg_scale=e_s, r_cfg_scale=r_sc,
                 nfe=nfe, ode_method=method, cfg_mode=cfg_mode)
+            return out.astype(jnp.float32), new_carry
 
         self._sample_chunk = _sample_chunk
 

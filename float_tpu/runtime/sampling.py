@@ -108,10 +108,14 @@ def sampler_init_carry(b: int, cfg: FloatConfig, dtype=jnp.float32):
 
 def chunk_noise(key, c: int, b: int, cfg: FloatConfig, dtype=jnp.float32):
     """Chunk c's noise — the same (key, c) fold_in the scan sampler uses,
-    so streamed and one-scan sampling share noise exactly."""
+    so streamed and one-scan sampling share noise exactly.
+
+    Always DRAWN in f32 then cast: jax.random.normal samples different
+    values per dtype, so drawing in the compute dtype would change the
+    trajectory (not just its rounding) under sampler_dtype=bfloat16."""
     return jax.random.normal(jax.random.fold_in(key, c),
                              (b, cfg.num_frames_for_clip, cfg.dim_w),
-                             dtype=dtype)
+                             dtype=jnp.float32).astype(dtype)
 
 
 def sample_motion_latents(
@@ -166,9 +170,10 @@ def sample_motion_latents(
         # the generated prefix is stable across clip lengths and shape
         # buckets (the reference's sequential per-chunk torch.randn has
         # the same property, FLOAT.py:215)
+        # drawn in f32 then cast — same trajectory across sampler dtypes
         noise = jax.vmap(lambda c: jax.random.normal(
-            jax.random.fold_in(key, c), (b, clip, dim_w), dtype=wa.dtype)
-        )(jnp.arange(n_chunks))
+            jax.random.fold_in(key, c), (b, clip, dim_w),
+            dtype=jnp.float32).astype(wa.dtype))(jnp.arange(n_chunks))
     else:
         noise = jnp.asarray(noise, dtype=wa.dtype)
         if noise.shape != (n_chunks, b, clip, dim_w):

@@ -383,3 +383,23 @@ def test_predict_emotion_windowed_long_audio(inputs):
     np.testing.assert_allclose(
         np.asarray(short),
         np.asarray(p._emotion(p.params["emotion"], wave[:, :4000])), atol=0)
+
+
+def test_sampler_dtype_bf16_close_to_f32(inputs):
+    """Opt-in bfloat16 FMT sampling tracks the f32 sampler within the
+    expected bf16 integration error and feeds the same decode."""
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline
+    img, wave = inputs
+    p32 = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+    p16 = build_synthetic_pipeline(TINY.replace(sampler_dtype="bfloat16"),
+                                   TINY_W2V, TINY_SER)
+    t = audio_num_frames(16000, TINY)
+    s_r, _lam, feats, r_s = p32.encode_image(img)
+    wa = p32.encode_audio(wave, t)
+    we = p32.emotion_latent(wave, "happy")
+    rd32 = np.asarray(p32.sample(r_s, wa, we, seed=3))
+    rd16 = np.asarray(p16.sample(r_s, wa, we, seed=3))
+    assert rd16.dtype == np.float32            # returned as f32
+    scale = np.abs(rd32).max()
+    err = np.abs(rd16 - rd32).max()
+    assert err < 0.1 * scale, (err, scale)     # bf16 integration floor
