@@ -432,10 +432,13 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
             if collect_flow_stats and res >= 128:
                 from ..ops.nhwc import flow_needed_disp
                 # stats are advisory (the ratchet's D only sizes the fast
-                # path; exactness comes from the fixup): a 4-frame subset
-                # keeps the per-chunk cost ~1 ms so EVERY chunk can report
+                # path; exactness comes from the fixup, and since r3 the
+                # kernels' in-SMEM overflow flag bumps the ratchet when
+                # the subset misses a big flow): a 2-frame subset keeps
+                # the per-chunk probe cost minimal while still giving the
+                # direct D jump on regime changes
                 flow_stats.append(
-                    flow_needed_disp(fl[: min(4, fl.shape[0])], res, res))
+                    flow_needed_disp(fl[: min(2, fl.shape[0])], res, res))
             if not packed_last:
                 skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip,
                                   blur_kernel=blur_kernel)

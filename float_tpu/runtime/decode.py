@@ -413,7 +413,7 @@ def decode_latents(
     all_flags = []
     for ci in range(n_chunks):
         wa_c = wa[ci * fb:(ci + 1) * fb]
-        chunk, stats, flags = fn(params_c, wa_c, feats_c, size,
+        chunk, stats, flags = fn(params_c, wa_c, feats_c, size=size,
                                  blur_kernel=blur_kernel,
                                  warp_disp=disp, with_stats=True,
                                  fixup=False, warp_path=paths)
@@ -431,7 +431,7 @@ def decode_latents(
                     "program", len(redo), n_chunks)
     for ci in redo:
         chunks[ci], _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
-                           size, blur_kernel=blur_kernel,
+                           size=size, blur_kernel=blur_kernel,
                            warp_disp=disp, with_stats=True)
     frames = jnp.concatenate(chunks, axis=0)
     return frames[:t_frames]
@@ -475,7 +475,7 @@ def decode_latents_to_host(
         wa_c = wa[ci * fb:(ci + 1) * fb]
         # optimistic fixup-free program; flags + stats folded post-loop
         # in one sync (see decode_latents)
-        dev, stats, flags = fn(params_c, wa_c, feats_c, size,
+        dev, stats, flags = fn(params_c, wa_c, feats_c, size=size,
                                out_u8=uint8_transfer,
                                blur_kernel=blur_kernel,
                                warp_disp=disp, with_stats=True,
@@ -503,7 +503,8 @@ def decode_latents_to_host(
         logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
                     "program", len(redo), n_chunks)
     for ci in redo:
-        dev, _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c, size,
+        dev, _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
+                    size=size,
                     out_u8=uint8_transfer, blur_kernel=blur_kernel,
                     warp_disp=disp, with_stats=True)
         _drain((ci, dev), out, fb, t_frames, uint8_transfer)
@@ -559,7 +560,7 @@ def decode_latents_stream(
 
     def _dispatch(rows, start, n_valid):
         wa_c = (s32 + rows.astype(jnp.float32)).astype(dtype)
-        dev, stats = fn(params_c, wa_c, feats_c, size,
+        dev, stats = fn(params_c, wa_c, feats_c, size=size,
                         out_u8=uint8_transfer, blur_kernel=blur_kernel,
                         warp_disp=disp, with_stats=True)
         all_stats.append(stats)
@@ -651,7 +652,8 @@ def decode_clips_to_host(
     for k, (wa, feats_c, t_frames, n_chunks) in enumerate(prep):
         for ci in range(n_chunks):
             dev, stats, flags = fn(params_c, wa[ci * fb:(ci + 1) * fb],
-                                   feats_c, size, out_u8=uint8_transfer,
+                                   feats_c, size=size,
+                                   out_u8=uint8_transfer,
                                    blur_kernel=blur_kernel, warp_disp=disp,
                                    with_stats=True, fixup=False,
                                    warp_path=paths)
@@ -677,7 +679,8 @@ def decode_clips_to_host(
     for di in redo:
         kk, cc = chunk_keys[di]
         wa, feats_c, t_frames, _ = prep[kk]
-        dev, _ = fn(params_c, wa[cc * fb:(cc + 1) * fb], feats_c, size,
+        dev, _ = fn(params_c, wa[cc * fb:(cc + 1) * fb], feats_c,
+                    size=size,
                     out_u8=uint8_transfer, blur_kernel=blur_kernel,
                     warp_disp=disp, with_stats=True)
         _drain((cc, dev), outs[kk], fb, t_frames, uint8_transfer)

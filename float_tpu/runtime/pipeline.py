@@ -68,15 +68,27 @@ class FloatPipeline:
     def __init__(self, params, cfg: FloatConfig = FloatConfig(),
                  w2v_cfg: Wav2Vec2Config = WAV2VEC2_BASE,
                  ser_cfg: Wav2Vec2Config = WAV2VEC2_LARGE_SER,
-                 mesh=None):
+                 mesh=None, aot_dir=None):
         """``mesh`` (jax.sharding.Mesh with axes ("data", "model")) enables
         the multi-chip mode: Megatron-style tensor parallelism for the
         wav2vec2 towers and the FMT (GSPMD from NamedShardings on the
         weights), and frame-parallel decode via a shard_map'd chunk
         (every frame independent — SURVEY §5.7/§5.8).  decode_batch must
-        be divisible by the mesh size."""
+        be divisible by the mesh size.
+
+        ``aot_dir`` (or env FLOAT_AOT_CACHE) enables the cross-process
+        AOT executable cache: compiled stage programs are serialized to
+        disk and fresh processes load them with NO recompile
+        (utils/aot_cache — kills the multi-minute cold start on
+        transports where the XLA persistent cache cannot hit)."""
+        import os as _os
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
+        aot_dir = aot_dir or _os.environ.get("FLOAT_AOT_CACHE")
+        self._aot = None
+        if aot_dir and mesh is None:
+            from ..utils.aot_cache import AotCache
+            self._aot = AotCache(aot_dir)
         self.cfg = cfg.validate()
         self.w2v_cfg = w2v_cfg
         self.ser_cfg = ser_cfg
@@ -172,6 +184,24 @@ class FloatPipeline:
             chunk_fn = make_sharded_chunk_fn(self.mesh)
         self._chunk_fn = chunk_fn
 
+        if self._aot is not None:
+            from .decode import _decode_chunk
+            self._encode_image = self._aot.wrap("encode_image",
+                                                _encode_image)
+            self._encode_audio = self._aot.wrap("encode_audio",
+                                                _encode_audio,
+                                                ("seq_len",))
+            self._emotion = self._aot.wrap("emotion", _emotion)
+            self._sample = self._aot.wrap("sample", _sample,
+                                          ("nfe", "method", "cfg_mode"))
+            self._sample_chunk = self._aot.wrap(
+                "sample_chunk", _sample_chunk,
+                ("nfe", "method", "cfg_mode"))
+            self._chunk_fn = self._aot.wrap(
+                "decode_chunk", _decode_chunk,
+                ("size", "out_u8", "channels_last", "blur_kernel",
+                 "warp_disp", "with_stats", "fixup", "warp_path"))
+
         # pre-cast ONCE: the per-clip pytree cast was ~200 device
         # dispatches on every decode call (decode._cast_params skips
         # matching dtypes)
@@ -190,7 +220,8 @@ class FloatPipeline:
 
     def encode_audio(self, wave: jnp.ndarray, seq_len: int) -> jnp.ndarray:
         """wave (B, N) normalized -> wa (B, seq_len, dim_w)."""
-        return self._encode_audio(self.params["audio_encoder"], wave, seq_len)
+        return self._encode_audio(self.params["audio_encoder"], wave,
+                                  seq_len=seq_len)
 
     def predict_emotion(self, wave: jnp.ndarray) -> jnp.ndarray:
         """wave (B, N) -> softmax scores (B, E).
@@ -255,9 +286,9 @@ class FloatPipeline:
         r_d = self._sample(
             self.params["fmt"], r_s, wa_b, we_b, key,
             jnp.float32(a_s), jnp.float32(e_s), jnp.float32(r_sc),
-            cfg.nfe if nfe is None else nfe,
-            cfg.ode_method if ode_method is None else ode_method,
-            mode)
+            nfe=cfg.nfe if nfe is None else nfe,
+            method=cfg.ode_method if ode_method is None else ode_method,
+            cfg_mode=mode)
         return r_d[:, :t_true]
 
     def decode(self, s_r, feats, r_d, progress=None) -> jnp.ndarray:
@@ -376,7 +407,7 @@ class FloatPipeline:
                 sample_t, carry = self._sample_chunk(
                     self.params["fmt"], r_s, wa_t, we_t, carry, x0,
                     jnp.float32(a_s), jnp.float32(e_s), jnp.float32(r_sc),
-                    nfe_, method, mode)
+                    nfe=nfe_, method=method, cfg_mode=mode)
                 take = min(clip, t_frames - done)
                 done += take
                 _report(progress, "sample", c + 1, n_chunks)

@@ -1,0 +1,125 @@
+"""Cross-process AOT executable cache — cold-start elimination.
+
+On standard TPU runtimes JAX's persistent compilation cache already
+makes recompiles cheap; on transports whose compile keys include
+per-session state (the axon dev tunnel — PERF.md) it never hits across
+processes and the full-size image encoder alone recompiles ~4 min per
+process.  ``jax.experimental.serialize_executable`` round-trips a
+compiled executable through pickle and a FRESH process can
+``deserialize_and_load`` and run it with no recompile (verified on this
+transport: experiments/aot_cache_probe.py).
+
+This module wraps jitted functions with a disk-backed executable cache:
+
+    aot = AotCache("~/.cache/float_tpu_aot")
+    fast_fn = aot.wrap("encode_image", jitted_fn)
+    fast_fn(*args, **kwargs)        # compile once per (shapes+statics)
+                                    # key ACROSS processes
+
+Keys include arg shapes/dtypes/pytree structure, static kwargs, the jax
+version and the device kind; any load/deserialize failure falls back to
+the wrapped jitted function (never worse than no cache).  Blobs are
+device-topology-specific by construction — do not ship them across
+accelerator generations.
+
+The reference's ``first_run`` warm-up accounting (FLOAT.py:33) maps to
+XLA compilation; this cache is the TPU-native way to pay it once per
+MACHINE instead of once per process.
+"""
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+from typing import Any, Callable, Dict
+
+import jax
+
+logger = logging.getLogger("float_tpu.aot")
+
+
+def _key_of(name: str, args, kwargs) -> str:
+    leaves, treedef = jax.tree.flatten((args, kwargs))
+    sig = [name, jax.__version__, jax.devices()[0].device_kind,
+           str(treedef)]
+    for leaf in leaves:
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            sig.append(f"{tuple(leaf.shape)}:{leaf.dtype}")
+        else:
+            sig.append(repr(leaf))
+    return hashlib.sha256("|".join(sig).encode()).hexdigest()[:24]
+
+
+class AotCache:
+    """Disk-backed cache of serialized compiled executables."""
+
+    def __init__(self, cache_dir: str):
+        self.dir = os.path.expanduser(cache_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self._loaded: Dict[str, Callable] = {}
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.dir, key + ".aotx")
+
+    def wrap(self, name: str, jitted_fn: Callable,
+             static_argnames=()) -> Callable:
+        """Wrap a ``jax.jit``-ted function with the executable cache.
+
+        ``static_argnames`` must name the wrapped jit's static kwargs:
+        they are part of the cache key but are BAKED INTO the compiled
+        executable, which only accepts the dynamic arguments.
+        """
+        static_argnames = tuple(static_argnames)
+
+        def runner(compiled):
+            def run(*a, **kw):
+                dyn = {k: v for k, v in kw.items()
+                       if k not in static_argnames}
+                return compiled(*a, **dyn)
+            return run
+
+        def wrapped(*args, **kwargs):
+            key = _key_of(name, args, kwargs)
+            hit = self._loaded.get(key)
+            if hit is not None:
+                return hit(*args, **kwargs)
+            path = self._path(key)
+            if os.path.exists(path):
+                try:
+                    from jax.experimental import serialize_executable as se
+                    with open(path, "rb") as fh:
+                        payload = pickle.load(fh)
+                    compiled = se.deserialize_and_load(*payload)
+                    run = runner(compiled)
+                    self._loaded[key] = run
+                    logger.info("aot cache hit: %s (%s)", name, key)
+                    return run(*args, **kwargs)
+                except Exception as exc:      # stale/incompatible blob
+                    logger.warning("aot cache load failed for %s (%s); "
+                                   "recompiling", name, exc)
+            try:
+                compiled = jitted_fn.lower(*args, **kwargs).compile()
+            except Exception as exc:
+                # not lowerable this way (e.g. non-jit callable): bypass
+                logger.warning("aot lower failed for %s (%s); running "
+                               "uncached", name, exc)
+                self._loaded[key] = jitted_fn
+                return jitted_fn(*args, **kwargs)
+            try:
+                from jax.experimental import serialize_executable as se
+                payload = se.serialize(compiled)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    pickle.dump(payload, fh)
+                os.replace(tmp, path)
+                logger.info("aot cache store: %s (%s)", name, key)
+            except Exception as exc:
+                logger.warning("aot serialize failed for %s (%s); cache "
+                               "not persisted", name, exc)
+
+            run = runner(compiled)
+            self._loaded[key] = run
+            return run(*args, **kwargs)
+
+        return wrapped

@@ -403,3 +403,24 @@ def test_sampler_dtype_bf16_close_to_f32(inputs):
     scale = np.abs(rd32).max()
     err = np.abs(rd16 - rd32).max()
     assert err < 0.1 * scale, (err, scale)     # bf16 integration floor
+
+
+def test_aot_cache_pipeline_roundtrip(tmp_path, inputs):
+    """FloatPipeline(aot_dir=...): executables persist to disk and a
+    FRESH pipeline instance (simulated fresh process) loads + runs them
+    producing identical frames; the cache dir really holds blobs."""
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline, FloatPipeline
+    img, wave = inputs
+    d = str(tmp_path / "aot")
+    base = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+    ref = np.asarray(base.generate(img, wave, emotion="happy", seed=4))
+
+    p1 = FloatPipeline(base.params, TINY, TINY_W2V, TINY_SER, aot_dir=d)
+    got1 = np.asarray(p1.generate(img, wave, emotion="happy", seed=4))
+    np.testing.assert_allclose(got1, ref, atol=1e-5)
+    blobs = [f for f in os.listdir(d) if f.endswith(".aotx")]
+    assert blobs, "no executables persisted"
+
+    p2 = FloatPipeline(base.params, TINY, TINY_W2V, TINY_SER, aot_dir=d)
+    got2 = np.asarray(p2.generate(img, wave, emotion="happy", seed=4))
+    np.testing.assert_allclose(got2, ref, atol=1e-5)
