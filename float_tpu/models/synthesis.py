@@ -30,6 +30,13 @@ from ..ops import (
     grid_sample_bilinear, identity_grid,
 )
 
+# Run the packed last level's conv chain space-to-depth FOLDED at full
+# lane occupancy (ops/folded.py) when 4·C fits the 128 lanes.  Measured
+# on chip: the (B, 512², 32) chain is LAYOUT-bound at 25% occupancy and
+# the folded form is 2.2x faster isolated (experiments/
+# folded_level_bench.py); exactness covered by tests/test_folded.py.
+FOLDED_LAST = True
+
 
 def direction(params, alpha):
     """Project motion magnitudes (…, dim_m) onto the orthonormalized basis.
@@ -271,9 +278,7 @@ def _to_flow_rgb_packed_cl(x, style, feat, p_flow, p_rgb, skip_flow,
     _to_flow_cl; math identical to _to_flow_cl + _to_rgb_cl
     (reference: styledecoder.py:368-425, composition at :517-529).
     """
-    from ..ops.nhwc import (modulated_conv2d_cl, upsample2x_cl,
-                            fused_leaky_relu_cl)
-    from ..ops.pallas.shift_warp_v2 import warp_shared_feat_v2_packed
+    from ..ops.nhwc import modulated_conv2d_cl, upsample2x_cl
 
     out = modulated_conv2d_cl(
         x, style,
@@ -285,18 +290,30 @@ def _to_flow_rgb_packed_cl(x, style, feat, p_flow, p_rgb, skip_flow,
     out = out + p_flow["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
     if skip_flow is not None:
         out = out + upsample2x_cl(skip_flow, blur_kernel)
+    rgb, flow, flags = _packed_warp_rgb(
+        out, feat, p_rgb, skip_rgb, x.dtype, x.shape[0],
+        blur_kernel=blur_kernel, max_disp=max_disp, warp_path=warp_path)
+    return rgb, out, flow, flags
 
-    size = x.shape[1]
+
+def _packed_warp_rgb(out, feat, p_rgb, skip_rgb, dtype, b,
+                     blur_kernel=(1, 3, 3, 1), max_disp=2,
+                     warp_path="auto"):
+    """Shared tail of the packed last level: flow-pred (B, S, S, 3) ->
+    (tanh/sigmoid, warp packed, block-diag ToRGB, mask, skip)."""
+    from ..ops.nhwc import upsample2x_cl, fused_leaky_relu_cl
+    from ..ops.pallas.shift_warp_v2 import warp_shared_feat_v2_packed
+
+    size = out.shape[1]
     grid = identity_grid(size, dtype=jnp.float32)[None]
     sampler = jnp.tanh(out[..., 0:2].astype(jnp.float32))
     mask = jax.nn.sigmoid(out[..., 2:3].astype(jnp.float32))
     flow = sampler + grid
 
     packed, flags, groups = warp_shared_feat_v2_packed(
-        feat.astype(x.dtype), flow.astype(jnp.float32),
+        feat.astype(dtype), flow.astype(jnp.float32),
         max_disp=max_disp, path=warp_path)
 
-    b = x.shape[0]
     c = feat.shape[-1]
     cg = 128 // groups
     w0 = p_rgb["conv"]["0"]["weight"].astype(jnp.float32)   # (3, C, 1, 1)
@@ -305,14 +322,44 @@ def _to_flow_rgb_packed_cl(x, style, feat, p_flow, p_rgb, skip_flow,
         wk = jnp.pad(wk, ((0, 0), (0, cg - c)))
     wblk = jnp.kron(jnp.eye(groups, dtype=jnp.float32), wk)  # (3g, 128)
     rgb_p = jnp.einsum("bhwk,ok->bhwo", packed, wblk.astype(packed.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+                       preferred_element_type=jnp.float32).astype(dtype)
     rgb = rgb_p.reshape(b // groups, size, size, groups, 3)
     rgb = jnp.transpose(rgb, (0, 3, 1, 2, 4)).reshape(b, size, size, 3)
-    rgb = rgb * mask.astype(x.dtype)
+    rgb = rgb * mask.astype(dtype)
     rgb = fused_leaky_relu_cl(rgb, p_rgb["conv"]["1"]["bias"].reshape(-1))
     rgb = rgb + p_rgb["bias"].reshape(1, 1, 1, 3).astype(rgb.dtype)
     if skip_rgb is not None:
         rgb = rgb + upsample2x_cl(skip_rgb, blur_kernel)
+    return rgb, flow, flags
+
+
+def _to_flow_rgb_packed_folded(f, style, feat, p_flow, p_rgb, skip_flow,
+                               skip_rgb, blur_kernel=(1, 3, 3, 1),
+                               max_disp=2, warp_path="auto"):
+    """_to_flow_rgb_packed_cl on a space-to-depth FOLDED style branch.
+
+    ``f`` is the last level's activation in the (B, S/2, S/2, 4·C) folded
+    layout (ops/folded.py): the flow conv runs block-diagonally on the
+    folded lanes and only the 3-channel flow prediction is unfolded —
+    the quarter-width (B, S, S, C) tensor never exists.  Math identical
+    to _to_flow_rgb_packed_cl (reference: styledecoder.py:368-425).
+    """
+    from ..ops.nhwc import upsample2x_cl
+    from ..ops.folded import modconv1x1_folded, unfold2x2
+
+    out_f = modconv1x1_folded(
+        f, style,
+        p_flow["conv"]["weight"],
+        p_flow["conv"]["modulation"]["weight"],
+        p_flow["conv"]["modulation"]["bias"])
+    out_f = out_f + jnp.tile(p_flow["bias"].reshape(-1),
+                             4).astype(out_f.dtype)
+    out = unfold2x2(out_f, 3)
+    if skip_flow is not None:
+        out = out + upsample2x_cl(skip_flow, blur_kernel)
+    rgb, flow, flags = _packed_warp_rgb(
+        out, feat, p_rgb, skip_rgb, f.dtype, f.shape[0],
+        blur_kernel=blur_kernel, max_disp=max_disp, warp_path=warp_path)
     return rgb, out, flow, flags
 
 
@@ -376,11 +423,7 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
     flow_stats = []
     ovf_flags = []
     for lvl in range(n_levels):
-        out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True,
-                              blur_kernel=blur_kernel)
-        out = _styled_conv_cl(out, wa, convs[str(2 * lvl + 1)], up=False,
-                              blur_kernel=blur_kernel)
-        res = out.shape[1]
+        res = out.shape[1] * 2            # resolution after the up-conv
         # per-level static D: int broadcasts; a tuple is indexed by the
         # kernel-level index (128² -> 0, 256² -> 1, ...)
         if isinstance(warp_disp, tuple):
@@ -394,6 +437,46 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
         # fixup-free only for the kernel levels (>=128²): smaller levels
         # use the exact gather, where apply_fixup only changes arity
         lvl_fix = apply_fixup or res < 128
+        is_last = lvl == n_levels - 1
+        feat_l = feats_cl[lvl]
+        from ..ops.pallas.shift_warp_v2 import v2_eligible
+        packed_last = (is_last and not lvl_fix and use_warp_kernel
+                       and feat_l.shape[0] == 1 and b > 1
+                       and v2_eligible(feat_l.shape, wa.dtype))
+        # the packed last level can additionally run its whole conv chain
+        # space-to-depth FOLDED at full lane occupancy (ops/folded.py):
+        # the quarter-width (B, S, S, C) activation never materializes
+        folded_last = (FOLDED_LAST and packed_last
+                       and 4 * feat_l.shape[-1] <= 128)
+        if folded_last:
+            from ..ops.folded import (up_modconv_folded, modconv_folded,
+                                      lrelu_folded)
+            p_up = convs[str(2 * lvl)]
+            p_pl = convs[str(2 * lvl + 1)]
+            f = up_modconv_folded(
+                out, wa, p_up["conv"]["weight"],
+                p_up["conv"]["modulation"]["weight"],
+                p_up["conv"]["modulation"]["bias"], blur_kernel=blur_kernel)
+            f = lrelu_folded(f, p_up["activate"]["bias"].reshape(-1))
+            f = modconv_folded(
+                f, wa, p_pl["conv"]["weight"],
+                p_pl["conv"]["modulation"]["weight"],
+                p_pl["conv"]["modulation"]["bias"])
+            f = lrelu_folded(f, p_pl["activate"]["bias"].reshape(-1))
+            skip, _, fl, ovf = _to_flow_rgb_packed_folded(
+                f, wa, feat_l, to_flows[str(lvl)], to_rgbs[str(lvl)],
+                skip_flow, skip, blur_kernel=blur_kernel,
+                max_disp=lvl_d, warp_path=lvl_p)
+            ovf_flags.append(ovf)
+            if collect_flow_stats and res >= 128:
+                from ..ops.nhwc import flow_needed_disp
+                flow_stats.append(
+                    flow_needed_disp(fl[: min(2, fl.shape[0])], res, res))
+            continue
+        out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True,
+                              blur_kernel=blur_kernel)
+        out = _styled_conv_cl(out, wa, convs[str(2 * lvl + 1)], up=False,
+                              blur_kernel=blur_kernel)
         if res == 8:
             out_warp, out, skip_flow, _ = _to_flow_cl(
                 out, wa, feats_cl[lvl], to_flows[str(lvl)],
@@ -402,12 +485,6 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
             skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)],
                               blur_kernel=blur_kernel)
         else:
-            feat_l = feats_cl[lvl]
-            is_last = lvl == n_levels - 1
-            from ..ops.pallas.shift_warp_v2 import v2_eligible
-            packed_last = (is_last and not lvl_fix and use_warp_kernel
-                           and feat_l.shape[0] == 1 and b > 1
-                           and v2_eligible(feat_l.shape, wa.dtype))
             if packed_last:
                 # last level: the merged feature is dead, ToRGB runs on
                 # the kernel's packed lanes — skips the full-resolution

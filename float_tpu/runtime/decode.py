@@ -353,6 +353,22 @@ def _sync_stats_flags(size: int, all_stats: list, all_flags: list,
     return [int(ci) for ci in np.nonzero(redo)[0]]
 
 
+def _chunk_sizes(t_frames: int, fb: int, bucketed: bool) -> list:
+    """Per-chunk frame counts.  With ``bucketed`` the LAST chunk shrinks
+    to the smallest multiple of 4 covering the remainder (4 = the widest
+    frame-lane packing group, 128/32 at 512²) instead of paying a full
+    ``fb``-frame program on padding — e.g. 250 frames at fb=16 decode as
+    15×16 + 1×12 (244) instead of 16×16 (256).  Costs one extra chunk
+    program compile per distinct remainder bucket (cached per process /
+    AOT cache)."""
+    n_chunks = math.ceil(t_frames / fb)
+    sizes = [fb] * n_chunks
+    if bucketed and n_chunks:
+        rem = t_frames - (n_chunks - 1) * fb
+        sizes[-1] = min(fb, max(4, math.ceil(rem / 4) * 4))
+    return sizes
+
+
 def _cast_params(params, dtype):
     """Cast the synthesis pytree unless it already matches ``dtype``.
 
@@ -384,12 +400,13 @@ def decode_latents(
     """
     t_frames = r_d.shape[0]
     fb = decode_batch
-    n_chunks = math.ceil(t_frames / fb)
-    t_pad = n_chunks * fb
+    sizes = _chunk_sizes(t_frames, fb, bucketed=chunk_fn is None)
+    n_chunks = len(sizes)
+    t_pad = sum(sizes)
 
     dtype = jnp.dtype(compute_dtype)
     wa = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dtype)
-    if t_pad != t_frames:
+    if t_pad > t_frames:
         wa = jnp.pad(wa, ((0, t_pad - t_frames), (0, 0)), mode="edge")
 
     # NHWC path: transpose the 7 skip maps once per clip
@@ -411,8 +428,8 @@ def decode_latents(
     paths = _path_get(size)
     all_stats = []
     all_flags = []
-    for ci in range(n_chunks):
-        wa_c = wa[ci * fb:(ci + 1) * fb]
+    for ci, sz in enumerate(sizes):
+        wa_c = wa[ci * fb:ci * fb + sz]
         chunk, stats, flags = fn(params_c, wa_c, feats_c, size=size,
                                  blur_kernel=blur_kernel,
                                  warp_disp=disp, with_stats=True,
@@ -430,7 +447,8 @@ def decode_latents(
         logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
                     "program", len(redo), n_chunks)
     for ci in redo:
-        chunks[ci], _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
+        chunks[ci], _ = fn(params_c, wa[ci * fb:ci * fb + sizes[ci]],
+                           feats_c,
                            size=size, blur_kernel=blur_kernel,
                            warp_disp=disp, with_stats=True)
     frames = jnp.concatenate(chunks, axis=0)
@@ -454,12 +472,13 @@ def decode_latents_to_host(
     import numpy as np
     t_frames = r_d.shape[0]
     fb = decode_batch
-    n_chunks = math.ceil(t_frames / fb)
-    t_pad = n_chunks * fb
+    sizes = _chunk_sizes(t_frames, fb, bucketed=chunk_fn is None)
+    n_chunks = len(sizes)
+    t_pad = sum(sizes)
 
     dtype = jnp.dtype(compute_dtype)
     wa = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dtype)
-    if t_pad != t_frames:
+    if t_pad > t_frames:
         wa = jnp.pad(wa, ((0, t_pad - t_frames), (0, 0)), mode="edge")
     feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
     params_c = _cast_params(synthesis_params, dtype)
@@ -471,8 +490,8 @@ def decode_latents_to_host(
     paths = _path_get(size)
     all_stats = []
     all_flags = []
-    for ci in range(n_chunks):
-        wa_c = wa[ci * fb:(ci + 1) * fb]
+    for ci, sz in enumerate(sizes):
+        wa_c = wa[ci * fb:ci * fb + sz]
         # optimistic fixup-free program; flags + stats folded post-loop
         # in one sync (see decode_latents)
         dev, stats, flags = fn(params_c, wa_c, feats_c, size=size,
@@ -503,7 +522,7 @@ def decode_latents_to_host(
         logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
                     "program", len(redo), n_chunks)
     for ci in redo:
-        dev, _ = fn(params_c, wa[ci * fb:(ci + 1) * fb], feats_c,
+        dev, _ = fn(params_c, wa[ci * fb:ci * fb + sizes[ci]], feats_c,
                     size=size,
                     out_u8=uint8_transfer, blur_kernel=blur_kernel,
                     warp_disp=disp, with_stats=True)
@@ -632,26 +651,26 @@ def decode_clips_to_host(
     total_chunks = 0
     for s_r, feats, r_d in clips:
         t_frames = r_d.shape[0]
-        n_chunks = math.ceil(t_frames / fb)
+        sizes = _chunk_sizes(t_frames, fb, bucketed=chunk_fn is None)
         wa = (s_r.astype(jnp.float32)
               + r_d.astype(jnp.float32)).astype(dtype)
-        if n_chunks * fb != t_frames:
-            wa = jnp.pad(wa, ((0, n_chunks * fb - t_frames), (0, 0)),
+        if sum(sizes) > t_frames:
+            wa = jnp.pad(wa, ((0, sum(sizes) - t_frames), (0, 0)),
                          mode="edge")
         feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1))
                    for f in feats]
-        prep.append((wa, feats_c, t_frames, n_chunks))
+        prep.append((wa, feats_c, t_frames, sizes))
         outs.append(np.empty((t_frames, size, size, 3), np.float32))
-        total_chunks += n_chunks
+        total_chunks += len(sizes)
 
     pending = []                    # (clip_idx, chunk_idx, dev)
     all_stats, all_flags = [], []
     chunk_keys = []                 # (clip_idx, chunk_idx) per dispatch
     n_emitted = 0
     paths = _path_get(size)
-    for k, (wa, feats_c, t_frames, n_chunks) in enumerate(prep):
-        for ci in range(n_chunks):
-            dev, stats, flags = fn(params_c, wa[ci * fb:(ci + 1) * fb],
+    for k, (wa, feats_c, t_frames, sizes) in enumerate(prep):
+        for ci, sz in enumerate(sizes):
+            dev, stats, flags = fn(params_c, wa[ci * fb:ci * fb + sz],
                                    feats_c, size=size,
                                    out_u8=uint8_transfer,
                                    blur_kernel=blur_kernel, warp_disp=disp,
@@ -678,8 +697,8 @@ def decode_clips_to_host(
                     "program", len(redo), total_chunks)
     for di in redo:
         kk, cc = chunk_keys[di]
-        wa, feats_c, t_frames, _ = prep[kk]
-        dev, _ = fn(params_c, wa[cc * fb:(cc + 1) * fb], feats_c,
+        wa, feats_c, t_frames, sizes = prep[kk]
+        dev, _ = fn(params_c, wa[cc * fb:cc * fb + sizes[cc]], feats_c,
                     size=size,
                     out_u8=uint8_transfer, blur_kernel=blur_kernel,
                     warp_disp=disp, with_stats=True)
