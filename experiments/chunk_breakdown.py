@@ -73,6 +73,7 @@ def parse_trace(trace_dir):
                  and e.get("name") == "process_name"}
     dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "tpu" in n}
     agg = defaultdict(float)
+    full = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -81,11 +82,16 @@ def parse_trace(trace_dir):
         dur = e.get("dur", 0) / 1e3          # us -> ms
         base = name.split(".")[0].split("(")[0]
         agg[base] += dur
+        if base != "jit__chunk_core":        # parent lane double-counts
+            full[name.split("(")[0]] += dur
         total += dur
     print(f"\n== device op classes ({os.path.basename(path)}) ==")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{ms:9.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {name}")
     print(f"{total:9.2f} ms  total device (traced, distorted)")
+    print("\n== top individual ops ==")
+    for name, ms in sorted(full.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{ms:9.2f} ms  {name}")
 
 
 def main():

@@ -37,6 +37,23 @@ from ..ops import (
 # folded_level_bench.py); exactness covered by tests/test_folded.py.
 FOLDED_LAST = True
 
+# Contract the last-level ToRGB inside the warp kernel epilogue instead
+# of the block-diagonal einsum on the packed output.  Measured e2e on
+# chip: 460 vs 481 frames/s — OFF (see _packed_warp_rgb docstring).
+RGB_IN_KERNEL = False
+
+# Run middle levels whose channel count would waste half the 128 lanes
+# (256² at C=64) in the 2×1 W-FOLDED layout (ops/folded.py): the fold is
+# an index-identity reshape in NHWC, so only the warp output and the
+# level exit pay a physical relayout while every conv IO and elementwise
+# pass runs full-width.  Measured e2e on chip: 384 vs 452 frames/s
+# same-session — OFF (the 2-conv-per-parity stacked up-conv and the
+# folded↔unfolded relayouts around the full-res warp cost more than the
+# half-lane occupancy they recover; the 256² level was never the
+# bottleneck).  Kept as a tested alternative (tests/test_folded.py
+# end-to-end equivalence) for channel maps where a mid level dominates.
+WFOLD_MID = False
+
 
 def direction(params, alpha):
     """Project motion magnitudes (…, dim_m) onto the orthonormalized basis.
@@ -300,9 +317,16 @@ def _packed_warp_rgb(out, feat, p_rgb, skip_rgb, dtype, b,
                      blur_kernel=(1, 3, 3, 1), max_disp=2,
                      warp_path="auto"):
     """Shared tail of the packed last level: flow-pred (B, S, S, 3) ->
-    (tanh/sigmoid, warp packed, block-diag ToRGB, mask, skip)."""
+    (tanh/sigmoid, warp packed, block-diag ToRGB, mask, skip).
+
+    The in-kernel ToRGB contraction (RGB_IN_KERNEL;
+    shift_warp_v2.warp_shared_feat_v2_packed_rgb) was measured e2e at
+    460 vs 481 frames/s for the einsum form and is OFF: the per-tile
+    (1024, 128)·(128, 16) MXU dots serialize against the VPU tap loop
+    inside the kernel, costing more than the saved 268 MB HBM round
+    trip.  Kept as a tested alternative for hardware where the balance
+    differs (on-chip gate section 2c)."""
     from ..ops.nhwc import upsample2x_cl, fused_leaky_relu_cl
-    from ..ops.pallas.shift_warp_v2 import warp_shared_feat_v2_packed
 
     size = out.shape[1]
     grid = identity_grid(size, dtype=jnp.float32)[None]
@@ -310,21 +334,30 @@ def _packed_warp_rgb(out, feat, p_rgb, skip_rgb, dtype, b,
     mask = jax.nn.sigmoid(out[..., 2:3].astype(jnp.float32))
     flow = sampler + grid
 
-    packed, flags, groups = warp_shared_feat_v2_packed(
-        feat.astype(dtype), flow.astype(jnp.float32),
-        max_disp=max_disp, path=warp_path)
-
     c = feat.shape[-1]
-    cg = 128 // groups
     w0 = p_rgb["conv"]["0"]["weight"].astype(jnp.float32)   # (3, C, 1, 1)
     wk = w0[:, :, 0, 0] * (1.0 / math.sqrt(c))              # equalized scale
-    if cg != c:
-        wk = jnp.pad(wk, ((0, 0), (0, cg - c)))
-    wblk = jnp.kron(jnp.eye(groups, dtype=jnp.float32), wk)  # (3g, 128)
-    rgb_p = jnp.einsum("bhwk,ok->bhwo", packed, wblk.astype(packed.dtype),
-                       preferred_element_type=jnp.float32).astype(dtype)
-    rgb = rgb_p.reshape(b // groups, size, size, groups, 3)
+    if RGB_IN_KERNEL:
+        from ..ops.pallas.shift_warp_v2 import (
+            warp_shared_feat_v2_packed_rgb)
+        rgb_p, flags, groups = warp_shared_feat_v2_packed_rgb(
+            feat.astype(dtype), flow.astype(jnp.float32), wk,
+            max_disp=max_disp, path=warp_path)
+        rgb = rgb_p.reshape(b // groups, size, size, groups, 4)[..., :3]
+    else:
+        from ..ops.pallas.shift_warp_v2 import warp_shared_feat_v2_packed
+        packed, flags, groups = warp_shared_feat_v2_packed(
+            feat.astype(dtype), flow.astype(jnp.float32),
+            max_disp=max_disp, path=warp_path)
+        cg = 128 // groups
+        wkp = wk if cg == c else jnp.pad(wk, ((0, 0), (0, cg - c)))
+        wblk = jnp.kron(jnp.eye(groups, dtype=jnp.float32), wkp)  # (3g, 128)
+        rgb_p = jnp.einsum("bhwk,ok->bhwo", packed,
+                           wblk.astype(packed.dtype),
+                           preferred_element_type=jnp.float32).astype(dtype)
+        rgb = rgb_p.reshape(b // groups, size, size, groups, 3)
     rgb = jnp.transpose(rgb, (0, 3, 1, 2, 4)).reshape(b, size, size, 3)
+    rgb = rgb.astype(dtype)
     rgb = rgb * mask.astype(dtype)
     rgb = fused_leaky_relu_cl(rgb, p_rgb["conv"]["1"]["bias"].reshape(-1))
     rgb = rgb + p_rgb["bias"].reshape(1, 1, 1, 3).astype(rgb.dtype)
@@ -361,6 +394,76 @@ def _to_flow_rgb_packed_folded(f, style, feat, p_flow, p_rgb, skip_flow,
         out, feat, p_rgb, skip_rgb, f.dtype, f.shape[0],
         blur_kernel=blur_kernel, max_disp=max_disp, warp_path=warp_path)
     return rgb, out, flow, flags
+
+
+def _to_flow_cl_wfolded(f, style, feat, p, skip=None, use_warp_kernel=True,
+                        blur_kernel=(1, 3, 3, 1), max_disp=2,
+                        apply_fixup=True, warp_path="auto"):
+    """_to_flow_cl on a 2×1 W-FOLDED style branch (ops/folded.py).
+
+    ``f`` (B, H, W/2, 2C): the flow conv runs block-diagonally on the
+    folded lanes (the unfold of its 3-channel output is an index-identity
+    reshape), the warp runs at full resolution as usual, and the
+    mask-merge happens in the folded layout so the merged feature stays
+    W-folded for ToRGB/exit.  Math identical to _to_flow_cl
+    (reference: styledecoder.py:399-425)."""
+    from ..ops.nhwc import upsample2x_cl, warp_cl
+    from ..ops.folded import modconv1x1_wfolded, wunfold
+
+    out_f = modconv1x1_wfolded(
+        f, style,
+        p["conv"]["weight"],
+        p["conv"]["modulation"]["weight"],
+        p["conv"]["modulation"]["bias"])
+    out = wunfold(out_f)                                  # (B, H, W, 3)
+    out = out + p["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
+    if skip is not None:
+        out = out + upsample2x_cl(skip, blur_kernel)
+
+    b, size = f.shape[0], out.shape[1]
+    grid = identity_grid(size, dtype=jnp.float32)[None]
+    sampler = jnp.tanh(out[..., 0:2].astype(jnp.float32))
+    mask = jax.nn.sigmoid(out[..., 2:3].astype(jnp.float32))
+    flow = sampler + grid
+
+    shared = feat if (feat.shape[0] == 1 and b != 1) else None
+    feat_b = jnp.broadcast_to(feat, (b,) + feat.shape[1:]) \
+        if feat.shape[0] != b else feat
+    warped = warp_cl(feat_b.astype(f.dtype), flow.astype(jnp.float32),
+                     use_kernel=use_warp_kernel, max_disp=max_disp,
+                     shared_feat=None if shared is None
+                     else shared.astype(f.dtype),
+                     apply_fixup=apply_fixup, path=warp_path)
+    ovf = None
+    if not apply_fixup:
+        warped, ovf = warped
+
+    c = feat.shape[-1]
+    w2 = size // 2
+    w5 = warped.reshape(b, size, w2, 2, c)
+    m5 = mask.reshape(b, size, w2, 2, 1).astype(f.dtype)
+    x5 = f.reshape(b, size, w2, 2, c)
+    fw5 = w5 * m5
+    merged5 = fw5 + x5 * (1.0 - m5)
+    feat_warp_f = fw5.reshape(b, size, w2, 2 * c)
+    merged_f = merged5.reshape(b, size, w2, 2 * c)
+    if not apply_fixup:
+        return feat_warp_f, merged_f, out, flow, ovf
+    return feat_warp_f, merged_f, out, flow
+
+
+def _to_rgb_wfolded(x_f, p, skip=None, blur_kernel=(1, 3, 3, 1)):
+    """_to_rgb_cl on a W-FOLDED input: the 1×1 conv is kron(I₂, W) on the
+    folded lanes; lrelu/bias/skip run on the (free-reshape) unfolded
+    3-channel output."""
+    from ..ops.nhwc import fused_leaky_relu_cl, upsample2x_cl
+    from ..ops.folded import equal_conv1x1_wfolded, wunfold
+    out = wunfold(equal_conv1x1_wfolded(x_f, p["conv"]["0"]["weight"]))
+    out = fused_leaky_relu_cl(out, p["conv"]["1"]["bias"].reshape(-1))
+    out = out + p["bias"].reshape(1, 1, 1, 3).astype(out.dtype)
+    if skip is not None:
+        out = out + upsample2x_cl(skip, blur_kernel)
+    return out
 
 
 def n_kernel_levels(size: int) -> int:
@@ -472,6 +575,44 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                 from ..ops.nhwc import flow_needed_disp
                 flow_stats.append(
                     flow_needed_disp(fl[: min(2, fl.shape[0])], res, res))
+            continue
+        # middle levels at half lane occupancy (256²/C=64): 2×1 W-folded
+        # conv chain + folded merge; the fold boundaries are index-
+        # identity reshapes (ops/folded.py)
+        if (WFOLD_MID and not is_last and res >= 128
+                and 2 * feat_l.shape[-1] <= 128):
+            from ..ops.folded import (up_modconv_wfolded, modconv_wfolded,
+                                      lrelu_folded, wunfold)
+            p_up = convs[str(2 * lvl)]
+            p_pl = convs[str(2 * lvl + 1)]
+            f = up_modconv_wfolded(
+                out, wa, p_up["conv"]["weight"],
+                p_up["conv"]["modulation"]["weight"],
+                p_up["conv"]["modulation"]["bias"], blur_kernel=blur_kernel)
+            f = lrelu_folded(f, p_up["activate"]["bias"].reshape(-1),
+                             phases=2)
+            f = modconv_wfolded(
+                f, wa, p_pl["conv"]["weight"],
+                p_pl["conv"]["modulation"]["weight"],
+                p_pl["conv"]["modulation"]["bias"])
+            f = lrelu_folded(f, p_pl["activate"]["bias"].reshape(-1),
+                             phases=2)
+            res_out = _to_flow_cl_wfolded(
+                f, wa, feat_l, to_flows[str(lvl)], skip_flow,
+                use_warp_kernel=use_warp_kernel, blur_kernel=blur_kernel,
+                max_disp=lvl_d, apply_fixup=lvl_fix, warp_path=lvl_p)
+            if lvl_fix:
+                out_warp_f, merged_f, skip_flow, fl = res_out
+            else:
+                out_warp_f, merged_f, skip_flow, fl, ovf = res_out
+                ovf_flags.append(ovf)
+            out = wunfold(merged_f)
+            if collect_flow_stats and res >= 128:
+                from ..ops.nhwc import flow_needed_disp
+                flow_stats.append(
+                    flow_needed_disp(fl[: min(2, fl.shape[0])], res, res))
+            skip = _to_rgb_wfolded(out_warp_f, to_rgbs[str(lvl)], skip,
+                                   blur_kernel=blur_kernel)
             continue
         out = _styled_conv_cl(out, wa, convs[str(2 * lvl)], up=True,
                               blur_kernel=blur_kernel)

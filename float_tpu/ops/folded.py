@@ -196,8 +196,144 @@ def modconv1x1_folded(f, style, weight, mod_weight, mod_bias):
                       preferred_element_type=jnp.float32).astype(f.dtype)
 
 
-def lrelu_folded(f, bias, negative_slope=0.2, scale=LRELU_SCALE):
+def lrelu_folded(f, bias, negative_slope=0.2, scale=LRELU_SCALE,
+                 phases: int = 4):
     """fused_leaky_relu_cl with the per-channel bias tiled phase-major."""
     if bias is not None:
-        f = f + jnp.tile(bias.reshape(-1), 4).astype(f.dtype)
+        f = f + jnp.tile(bias.reshape(-1), phases).astype(f.dtype)
     return leaky_relu(f, negative_slope) * scale
+
+
+# ---------------------------------------------------------------------------
+# W-fold (2x1): the MIDDLE levels' form
+# ---------------------------------------------------------------------------
+#
+# In NHWC, (B, H, W, C) -> (B, H, W/2, 2C) with lane px·C + c is an
+# INDEX-IDENTITY reshape (x·C + c == x2·2C + (px·C + c) for x = 2·x2+px):
+# jnp.reshape both ways, no transpose.  Physically XLA re-lays the
+# padded-lane tensor into a packed one (a cheap copy), after which every
+# conv IO and elementwise pass at a C = 64 level runs full-width instead
+# of half.  Used for the second-to-last (256²) level, whose merged output
+# must stay per-frame (it feeds the next up-conv) so the 2×2 fold above
+# does not apply.
+
+
+def wfold(x):
+    """(B, H, W, C) -> (B, H, W/2, 2C) W-folded (pure reshape)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def wunfold(f):
+    """(B, H, W2, 2C) W-folded -> (B, H, 2·W2, C) (pure reshape)."""
+    b, h, w2, c2 = f.shape
+    return f.reshape(b, h, 2 * w2, c2 // 2)
+
+
+def up_modconv_wfolded(x, style, weight, mod_weight, mod_bias,
+                       blur_kernel=(1, 3, 3, 1)):
+    """Modulated up-conv (incl. blur), output W-FOLDED.
+
+    x (B, H, W, I) -> (B, 2H, W, 2·O) representing the (B, 2H, 2W, O)
+    result of modulated_conv2d_cl(..., up=True): per H-parity one
+    stacked-W-phase conv over the unstrided input, interleaved along H
+    (a free reshape — the W/C dims, the tiled pair, are untouched).
+    """
+    b, h, w, in_c = x.shape
+    _, out_c, _, kh, kw = weight.shape
+    scale = 1.0 / math.sqrt(in_c * kh * kw)
+    s = equal_linear(style, mod_weight, mod_bias)
+    w0 = weight[0]
+    w2 = jnp.sum((w0.astype(jnp.float32) * scale) ** 2, axis=(2, 3))
+    sig2 = jnp.einsum("oi,bi->bo", w2, s.astype(jnp.float32) ** 2)
+    demod = jax.lax.rsqrt(sig2 + _EPS)
+    xm = x * (s * scale).astype(x.dtype)[:, None, None, :]
+
+    comp, pad0 = _composed_up_kernel(w0, blur_kernel)
+    kk = comp.shape[2]
+    outs = []
+    for a in (0, 1):                       # output row parity
+        ty = [t for t in range(kk) if (a + t - pad0) % 2 == 0]
+        oy = [(a + t - pad0) // 2 for t in ty]
+        sub_bp, ox_all = [], []
+        for bp in (0, 1):                  # output col parity -> channels
+            tx = [t for t in range(kk) if (bp + t - pad0) % 2 == 0]
+            ox_all.append([(bp + t - pad0) // 2 for t in tx])
+            sub_bp.append(comp[:, :, ty][:, :, :, tx])
+        lo_x = min(o[0] for o in ox_all)
+        hi_x = max(o[-1] for o in ox_all)
+        big = jnp.zeros((2, out_c, in_c, len(ty), hi_x - lo_x + 1),
+                        jnp.float32)
+        for bp in range(2):
+            ox = ox_all[bp]
+            big = big.at[bp, :, :, :,
+                         ox[0] - lo_x:ox[0] - lo_x + len(ox)].set(sub_bp[bp])
+        bigk = big.reshape(2 * out_c, in_c, len(ty), hi_x - lo_x + 1)
+        o = jax.lax.conv_general_dilated(
+            xm, bigk.astype(x.dtype), (1, 1),
+            ((-min(oy), max(oy)), (-lo_x, hi_x)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        outs.append(o)
+    y = jnp.stack(outs, axis=2).reshape(b, 2 * h, w, 2 * out_c)
+    return y * jnp.tile(demod, (1, 2)).astype(x.dtype)[:, None, None, :]
+
+
+def _wfolded_plain_kernel(w0):
+    """(O, I, 3, 3) -> the W-folded (2O, 2I, 3, 3) kernel of the same
+    stride-1 image-space conv acting on 2×1-W-folded tensors."""
+    out_c, in_c, kh, kw = w0.shape
+    assert kh == 3 and kw == 3, "W-folded form derived for 3x3"
+    k = jnp.zeros((2, out_c, 2, in_c, 3, 3), w0.dtype)
+    for px in (0, 1):
+        for v in range(3):
+            s_, q = divmod(px + v - 1, 2)
+            k = k.at[px, :, q, :, :, s_ + 1].set(w0[:, :, :, v])
+    return k.reshape(2 * out_c, 2 * in_c, 3, 3)
+
+
+def modconv_wfolded(f, style, weight, mod_weight, mod_bias,
+                    demodulate=True):
+    """Modulated 3×3 stride-1 conv on a W-FOLDED tensor (folded in/out):
+    exact equivalent of modulated_conv2d_cl(wunfold(f), ...) folded."""
+    _, out_c, in_c, kh, kw = weight.shape
+    scale = 1.0 / math.sqrt(in_c * kh * kw)
+    s = equal_linear(style, mod_weight, mod_bias)
+    w0 = weight[0]
+    if demodulate:
+        w2 = jnp.sum((w0.astype(jnp.float32) * scale) ** 2, axis=(2, 3))
+        sig2 = jnp.einsum("oi,bi->bo", w2, s.astype(jnp.float32) ** 2)
+        demod = jax.lax.rsqrt(sig2 + _EPS)
+    fm = f * jnp.tile(s * scale, (1, 2)).astype(f.dtype)[:, None, None, :]
+    kf = _wfolded_plain_kernel(w0.astype(f.dtype))
+    out = jax.lax.conv_general_dilated(
+        fm, kf, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32).astype(f.dtype)
+    if demodulate:
+        out = out * jnp.tile(demod, (1, 2)).astype(f.dtype)[:, None, None, :]
+    return out
+
+
+def modconv1x1_wfolded(f, style, weight, mod_weight, mod_bias):
+    """Modulated 1×1 conv (demod=False) on a W-FOLDED tensor:
+    kron(I₂, W) over the lanes."""
+    _, out_c, in_c, kh, kw = weight.shape
+    assert kh == 1 and kw == 1
+    scale = 1.0 / math.sqrt(in_c)
+    s = equal_linear(style, mod_weight, mod_bias)
+    fm = f * jnp.tile(s * scale, (1, 2)).astype(f.dtype)[:, None, None, :]
+    wk = weight[0, :, :, 0, 0].astype(jnp.float32)
+    wblk = jnp.kron(jnp.eye(2, dtype=jnp.float32), wk)
+    return jnp.einsum("bhwk,ok->bhwo", fm, wblk.astype(f.dtype),
+                      preferred_element_type=jnp.float32).astype(f.dtype)
+
+
+def equal_conv1x1_wfolded(f, weight):
+    """EqualConv2d 1×1 on a W-FOLDED tensor (ToRGB's conv)."""
+    o, i, kh, kw = weight.shape
+    assert kh == 1 and kw == 1
+    wk = weight[:, :, 0, 0].astype(jnp.float32) * (1.0 / math.sqrt(i))
+    wblk = jnp.kron(jnp.eye(2, dtype=jnp.float32), wk)
+    return jnp.einsum("bhwk,ok->bhwo", f, wblk.astype(f.dtype),
+                      preferred_element_type=jnp.float32).astype(f.dtype)

@@ -58,7 +58,7 @@ def _hat_fields_at(fs, base_abs, size, off, groups):
 
 
 def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
-            *, h, w, d, groups, tr, nb, out_dtype, path):
+            *, h, w, d, groups, tr, nb, out_dtype, path, w_rgb_ref=None):
     i = pl.program_id(0)
     j = pl.program_id(1)
     bb = pl.program_id(2)
@@ -281,10 +281,31 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
                     cov6, lambda: fastn(6, oy6, ox6),
                     lambda: taps(d, hoist=False))
                 acc = jax.lax.cond(cov4, lambda: fastn(4, oy4, ox4), slow)
-        out_ref[pl.ds(bg, 1)] = acc.astype(out_dtype)[None]
+        if w_rgb_ref is not None:
+            # ToRGB epilogue (last level only): the packed warp's sole
+            # consumer is a block-diagonal 1×1 conv, so contract the 128
+            # packed lanes against kron(I_groups, W_rgb) HERE on the f32
+            # accumulator — the (nbg, H, W, 128) tensor never reaches HBM
+            # (268 -> 34 MB at 512²) and the downstream einsum pass
+            # disappears.
+            wl = w_rgb_ref[...].astype(jnp.float32)        # (128, 4·groups)
+            rgb = jax.lax.dot_general(
+                acc.reshape(tr * TC, 128), wl,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[pl.ds(bg, 1)] = rgb.reshape(
+                tr, TC, wl.shape[1]).astype(out_dtype)[None]
+        else:
+            out_ref[pl.ds(bg, 1)] = acc.astype(out_dtype)[None]
         return 0
 
     jax.lax.fori_loop(0, nb, frame_group, 0)
+
+
+def _kernel_rgb(gy_ref, gx_ref, feat_hbm, w_rgb_ref, out_ref, ovf_ref,
+                win, win_rot, sem, **kw):
+    return _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win,
+                   win_rot, sem, w_rgb_ref=w_rgb_ref, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("d", "groups", "tr", "path"))
@@ -345,6 +366,88 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int,
             vmem_limit_bytes=28 * 1024 * 1024,
         ),
     )(gyg, gxg, feat_tiled)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "groups", "tr", "path"))
+def _packed_warp_v2_rgb(feat_tiled, gyg, gxg, wblk, d: int, groups: int,
+                        tr: int, path: str = "auto"):
+    """_packed_warp_v2 with the ToRGB matmul fused into the kernel
+    epilogue: ``wblk`` (128, 4·groups) = kron(I_groups, W_rgb_padded)
+    contracts the packed lanes in-kernel; returns
+    ((B//groups, H, W, 4·groups), flags) — lane g·4+o holds RGB channel
+    o (< 3) of frame-group member g."""
+    nbg = gyg.shape[0]
+    m = _margin(d)
+    h, w = gyg.shape[2], gyg.shape[3]
+    out_dtype = feat_tiled.dtype
+    wr, wc = _ceil8(tr + 2 * m), _ceil8(TC + 2 * m)
+    nb = max(n for n in (4, 3, 2, 1) if nbg % n == 0)
+    no = 4 * groups
+
+    kern = functools.partial(_kernel_rgb, h=h, w=w, d=d, groups=groups,
+                             tr=tr, nb=nb, out_dtype=out_dtype, path=path)
+    return pl.pallas_call(
+        kern,
+        grid=(h // tr, w // TC, nbg // nb),
+        in_specs=[
+            pl.BlockSpec((nb, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((128, no), lambda i, j, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((nb, tr, TC, no),
+                                lambda i, j, b: (b, i, j, 0)),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nbg, h, w, no), out_dtype),
+                   jax.ShapeDtypeStruct((2,), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((wr, wc, 128), feat_tiled.dtype),
+            pltpu.VMEM((2 * d + 2, wr, TC, 128), feat_tiled.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbg * h * w * 128 * ((2 * d + 2) ** 2 + no),
+            bytes_accessed=nbg * h * w * (128 * 2 + no * 2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=28 * 1024 * 1024,
+        ),
+    )(gyg, gxg, feat_tiled, wblk)
+
+
+def warp_shared_feat_v2_packed_rgb(feat1_nhwc, grid, wk_rgb,
+                                   max_disp: int = 3, tr: int = 8,
+                                   path: str = "auto"):
+    """Packed warp + in-kernel ToRGB contraction (optimistic mode only).
+
+    ``wk_rgb`` (3, C) f32: the equalized-scaled 1×1 ToRGB weight.  Returns
+    (rgb_p (B//groups, H, W, 4·groups), flags (2,), groups); unpack with
+    rgb_p.reshape(bg, H, W, groups, 4)[..., :3] -> per-frame RGB."""
+    assert max_disp >= 2 or path == "auto"
+    m = _margin(max_disp)
+    _, h, w, c = feat1_nhwc.shape
+    b = grid.shape[0]
+    groups = pick_groups(c, b)
+    cg = 128 // groups
+    fpad = feat1_nhwc if c == cg else jnp.pad(
+        feat1_nhwc, ((0, 0), (0, 0), (0, 0), (0, cg - c)))
+    ftile = fpad if groups == 1 else jnp.tile(fpad, (1, 1, 1, groups))
+    pad_r = _ceil8(tr + 2 * m) - tr - m
+    pad_c = _ceil8(TC + 2 * m) - TC - m
+    ftile = jnp.pad(ftile, ((0, 0), (m, pad_r), (m, pad_c), (0, 0)))
+    gyg = grid[..., 1].reshape(b // groups, groups, h, w)
+    gxg = grid[..., 0].reshape(b // groups, groups, h, w)
+    # (128, 4·groups) block-diagonal weight: lanes g·cg+i -> out g·4+o
+    wk4 = jnp.pad(wk_rgb.astype(jnp.float32), ((0, 1), (0, cg - c)))  # (4, cg)
+    wblk = jnp.kron(jnp.eye(groups, dtype=jnp.float32), wk4.T)  # (128, 4g)
+    rgb_p, flags = _packed_warp_v2_rgb(ftile, gyg, gxg, wblk, max_disp,
+                                       groups, tr, path)
+    return rgb_p, flags, groups
 
 
 def pick_groups(c: int, b: int) -> int:

@@ -124,6 +124,32 @@ def main():
                           f"amp={amp} D={d}: miss reported "
                           f"spread={int(flags[1])} (auto saw {spread})")
 
+    # 2c. in-kernel ToRGB contraction (warp_shared_feat_v2_packed_rgb):
+    # the packed warp's 128 lanes contract against kron(I_groups, W_rgb)
+    # in the kernel epilogue — must equal gather-warp + per-frame 1x1
+    from float_tpu.ops.pallas.shift_warp_v2 import (
+        warp_shared_feat_v2_packed_rgb)
+    for (h, c), path in [((512, 32), "auto"), ((512, 32), "fast4"),
+                         ((256, 64), "auto")]:
+        feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
+        wk = jax.random.normal(jax.random.fold_in(key, 5), (3, c),
+                               jnp.float32) * 0.2
+        grid = smooth_grid(jax.random.fold_in(key, 31 + h), b, h, h, 0.9)
+        rgb_p, flags, groups = warp_shared_feat_v2_packed_rgb(
+            feat, grid, wk, max_disp=2, path=path)
+        rgb = rgb_p.reshape(b // groups, h, h, groups, 4)[..., :3]
+        rgb = jnp.transpose(rgb, (0, 3, 1, 2, 4)).reshape(b, h, h, 3)
+        warped = grid_sample_bilinear_nhwc(
+            jnp.broadcast_to(feat, (b,) + feat.shape[1:]), grid)
+        ref = jnp.einsum("bhwc,oc->bhwo", warped.astype(jnp.float32),
+                         wk)
+        err = float(jnp.max(jnp.abs(rgb.astype(jnp.float32) - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        ok = err < 6.3e-2 * max(1.0, scale)
+        failures += not ok
+        print(f"{'OK ' if ok else 'FAIL'} rgb-fused {h}²×{c} path={path} "
+              f"groups={groups}: max|err|={err:.2e} (|ref|max {scale:.2f})")
+
     # 3. timings (auto cond chain vs the trace-time cond-free paths)
     for (h, c) in [(512, 32), (256, 64), (128, 128)]:
         feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
