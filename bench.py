@@ -32,7 +32,7 @@ def main():
 
     cfg = FloatConfig(compute_dtype="bfloat16",
                       decode_batch=int(os.environ.get("FLOAT_DECODE_BATCH",
-                                                      "16")),
+                                                      "24")),
                       sampler_dtype=os.environ.get("FLOAT_SAMPLER_DTYPE",
                                                    "float32"))
 

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 
-def build_chunk():
+def build_chunk_parts():
+    """Converge the ratchets and return the production chunk call's exact
+    ingredients: (params_c, wa_full, feats_c, disp, paths, cfg)."""
     from float_tpu.config import FloatConfig
     from float_tpu.runtime.pipeline import build_synthetic_pipeline, audio_num_frames
 
@@ -47,6 +49,12 @@ def build_chunk():
     disp = D._ratchet_get(512)
     paths = D._path_get(512)
     print("ratchet D:", disp, "paths:", paths)
+    return params_c, wa_full, feats_c, disp, paths, cfg
+
+
+def build_chunk():
+    from float_tpu.runtime import decode as D
+    params_c, wa_full, feats_c, disp, paths, cfg = build_chunk_parts()
 
     def chunk(wa_c):
         return D._decode_chunk(params_c, wa_c, feats_c, 512,

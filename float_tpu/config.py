@@ -90,7 +90,11 @@ class FloatConfig:
     # --- TPU-specific execution knobs (no reference equivalent) ---
     compute_dtype: str = "bfloat16"      # compute precision for conv/matmul paths
     param_dtype: str = "float32"         # storage precision of weights
-    decode_batch: int = 8                # frames decoded per Synthesis forward
+    # Frames decoded per Synthesis forward.  8 keeps tiny-config tests and
+    # small clips cheap (chunks PAD up to decode_batch); for 512² serving
+    # the measured-best value on v5e is 24 (463.6 vs 451.9 frames/s at 16,
+    # 432 at 20, 345 at 32 — PERF.md round 3; bench.py defaults to it).
+    decode_batch: int = 8
     use_pallas: bool = True              # enable Pallas kernels where available
     # FMT sampler compute precision.  float32 (default) matches the
     # reference's torch path; bfloat16 roughly doubles the CFG-ODE

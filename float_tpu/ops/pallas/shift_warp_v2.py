@@ -467,7 +467,7 @@ def v2_eligible(feat_shape, dtype) -> bool:
 
 def warp_shared_feat_v2_packed(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
                                max_disp: int = 3, tr: int = 8,
-                               path: str = "auto"):
+                               path: str = "auto", g_major: bool = False):
     """Optimistic packed-OUTPUT variant: returns (packed (B//groups, H, W,
     128), flags (2,), groups) keeping the kernel's frame-lane packing.
 
@@ -477,7 +477,14 @@ def warp_shared_feat_v2_packed(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     themselves.  A consumer that can work on the packed layout (the
     last-level ToRGB: a 1×1 conv = block-diagonal matmul over the lanes,
     models/synthesis._to_flow_rgb_packed_cl) skips that entirely and
-    unpacks only its own 3-channel output."""
+    unpacks only its own 3-channel output.
+
+    ``g_major``: lane-group g of packed row bg holds frame g·(B/groups)+bg
+    instead of bg·groups+g — then the per-frame unpack is a plain
+    lane-slice concat along batch (measured 2.84 vs 4.48 ms for the
+    reshape+transpose form at 256²×16f on chip, experiments/
+    unpack_bench.py); the grid reorder is two (B, H, W) leading-dim
+    transposes that fuse upstream."""
     assert max_disp >= 2 or path == "auto"
     m = _margin(max_disp)
     _, h, w, c = feat1_nhwc.shape
@@ -490,8 +497,14 @@ def warp_shared_feat_v2_packed(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     pad_r = _ceil8(tr + 2 * m) - tr - m
     pad_c = _ceil8(TC + 2 * m) - TC - m
     ftile = jnp.pad(ftile, ((0, 0), (m, pad_r), (m, pad_c), (0, 0)))
-    gyg = grid[..., 1].reshape(b // groups, groups, h, w)
-    gxg = grid[..., 0].reshape(b // groups, groups, h, w)
+    if g_major and groups > 1:
+        gyg = jnp.swapaxes(
+            grid[..., 1].reshape(groups, b // groups, h, w), 0, 1)
+        gxg = jnp.swapaxes(
+            grid[..., 0].reshape(groups, b // groups, h, w), 0, 1)
+    else:
+        gyg = grid[..., 1].reshape(b // groups, groups, h, w)
+        gxg = grid[..., 0].reshape(b // groups, groups, h, w)
     packed, flags = _packed_warp_v2(ftile, gyg, gxg, max_disp, groups,
                                     tr, path)
     return packed, flags, groups
@@ -528,10 +541,16 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     gx = grid[..., 0]
 
     packed, ovf_flags, groups = warp_shared_feat_v2_packed(
-        feat1_nhwc, grid, max_disp, tr, path)
+        feat1_nhwc, grid, max_disp, tr, path, g_major=True)
     cg = 128 // groups
-    out = packed.reshape(b // groups, h, w, groups, cg)
-    out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, h, w, cg)[..., :c]
+    if groups == 1:
+        out = packed[..., :c]
+    else:
+        # g-major packing makes the per-frame unpack a lane-slice concat
+        # (frame g·nbg+bg sits in lane-group g of row bg) — 1.6x cheaper
+        # than the reshape+transpose relayout (experiments/unpack_bench.py)
+        out = jnp.concatenate([packed[..., g * cg:g * cg + c]
+                               for g in range(groups)], axis=0)
 
     if not apply_fixup:
         return out, ovf_flags

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,18 @@ def one_hot_emotion(label: str, dim_e: int = 7) -> jnp.ndarray:
     """(1, 1, E) one-hot for a named emotion (reference: FLOAT.py:200)."""
     idx = EMOTION_LABELS.index(label.lower())
     return jax.nn.one_hot(jnp.asarray([[idx]]), dim_e)
+
+
+class SourceLatents(NamedTuple):
+    """Pre-encoded source image: reusable across clips of the same
+    speaker (the reference's separate image-encode node implies exactly
+    this reuse, nodes_adv.py FloatImageEncode).  Produced by
+    FloatPipeline.prepare_source; accepted by generate/generate_stream
+    via ``source=`` — skips the ~617 M-param encoder forward per clip."""
+    s_r: jnp.ndarray
+    r_s_lambda: jnp.ndarray
+    feats: list
+    r_s: jnp.ndarray
 
 
 class FloatPipeline:
@@ -218,6 +230,22 @@ class FloatPipeline:
         return self._encode_image(self.params["encoder"],
                                   self.params["synthesis"], img)
 
+    def prepare_source(self, img: jnp.ndarray) -> SourceLatents:
+        """Encode a source image once for reuse across clips: pass the
+        result as ``source=`` to generate/generate_stream and the
+        per-clip encoder forward is skipped entirely."""
+        return SourceLatents(*self.encode_image(img))
+
+    def _resolve_source(self, img, source, progress):
+        if source is not None:
+            _report(progress, "encode_image")
+            return source
+        if img is None:
+            raise ValueError("provide img or source=")
+        out = SourceLatents(*self.encode_image(img))
+        _report(progress, "encode_image")
+        return out
+
     def encode_audio(self, wave: jnp.ndarray, seq_len: int) -> jnp.ndarray:
         """wave (B, N) normalized -> wa (B, seq_len, dim_w)."""
         return self._encode_audio(self.params["audio_encoder"], wave,
@@ -326,19 +354,21 @@ class FloatPipeline:
     # one-shot generation (the FloatProcess node equivalent)
     # ------------------------------------------------------------------
 
-    def generate(self, img: jnp.ndarray, wave: jnp.ndarray, *,
+    def generate(self, img: Optional[jnp.ndarray], wave: jnp.ndarray, *,
                  emotion: str = "none", seed: Optional[int] = None,
                  a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
-                 nfe=None, ode_method=None, progress=None) -> jnp.ndarray:
+                 nfe=None, ode_method=None, progress=None,
+                 source: Optional[SourceLatents] = None) -> jnp.ndarray:
         """Full pipeline: (1,3,S,S) image + (1,N) audio -> (T,S,S,3) frames.
 
         Mirrors FLOAT.inference (reference: FLOAT.py:255-298).
         ``progress(stage, i, n)`` reports the encode/audio/emotion/sample
-        stages at dispatch and the decode per chunk.
+        stages at dispatch and the decode per chunk.  ``source=`` (from
+        prepare_source) reuses a pre-encoded image; ``img`` may then be
+        None.
         """
         t_frames = audio_num_frames(wave.shape[-1], self.cfg)
-        s_r, _lam, feats, r_s = self.encode_image(img)
-        _report(progress, "encode_image")
+        s_r, _lam, feats, r_s = self._resolve_source(img, source, progress)
         wa = self.encode_audio(wave, t_frames)
         _report(progress, "encode_audio")
         we = self.emotion_latent(wave, emotion)
@@ -349,11 +379,12 @@ class FloatPipeline:
         _report(progress, "sample")
         return self.decode(s_r, feats, r_d, progress=progress)
 
-    def generate_stream(self, img: jnp.ndarray, wave: jnp.ndarray, *,
-                        emotion: str = "none", seed: Optional[int] = None,
+    def generate_stream(self, img: Optional[jnp.ndarray], wave: jnp.ndarray,
+                        *, emotion: str = "none", seed: Optional[int] = None,
                         a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
                         nfe=None, ode_method=None,
-                        uint8_transfer: bool = True, progress=None):
+                        uint8_transfer: bool = True, progress=None,
+                        source: Optional[SourceLatents] = None):
         """Streaming generation: yields (start_frame, frames (k, S, S, 3)
         float32 numpy in [0,1]) as soon as each decode chunk reaches the
         host, instead of returning the whole clip at the end.
@@ -374,8 +405,7 @@ class FloatPipeline:
 
         cfg = self.cfg
         t_frames = audio_num_frames(wave.shape[-1], cfg)
-        s_r, _lam, feats, r_s = self.encode_image(img)
-        _report(progress, "encode_image")
+        s_r, _lam, feats, r_s = self._resolve_source(img, source, progress)
         wa = self.encode_audio(wave, t_frames)
         _report(progress, "encode_audio")
         we = self.emotion_latent(wave, emotion)

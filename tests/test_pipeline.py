@@ -137,3 +137,26 @@ def test_streamed_host_decode_matches_device(pipe, rng):
 
     exact = pipe.decode_to_host(s_r, feats, r_d, uint8_transfer=False)
     np.testing.assert_allclose(exact, dev, atol=1e-6)
+
+
+def test_generate_with_prepared_source(pipe, rng):
+    """source= (prepare_source) skips the per-clip encoder forward and
+    produces identical frames; img=None without source raises."""
+    import pytest
+    img = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32) * 0.1)
+
+    ref = pipe.generate(img, wave, emotion="happy", seed=3)
+    src = pipe.prepare_source(img)
+    got = pipe.generate(None, wave, emotion="happy", seed=3, source=src)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    first = next(iter(pipe.generate_stream(None, wave, emotion="happy",
+                                           seed=3, source=src,
+                                           uint8_transfer=False)))
+    np.testing.assert_allclose(first[1],
+                               np.asarray(ref)[:first[1].shape[0]],
+                               atol=2e-6)
+
+    with pytest.raises(ValueError):
+        pipe.generate(None, wave, emotion="happy")
