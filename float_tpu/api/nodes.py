@@ -127,7 +127,13 @@ def load_float_models(model: str = "FLOAT.safetensors",
     # decode ratchet so the first clip already runs the converged
     # optimistic programs
     from ..runtime.decode import load_warp_profile
-    load_warp_profile(os.path.join(float_dir, "warp_profile.json"))
+    try:
+        load_warp_profile(os.path.join(float_dir, "warp_profile.json"))
+    except Exception as exc:
+        # the profile is purely advisory (perf seeding): a corrupt or
+        # version-mismatched file must not make the model unloadable —
+        # the ratchet just learns per process as it would with no profile
+        logger.warning("ignoring unusable warp_profile.json (%s)", exc)
 
     if model.lower().endswith(".pth"):
         # legacy layout: float.pth + two HF dirs (reference: nodes.py:66-94)
@@ -195,18 +201,21 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
 
     clips = []
     used_audio_idx = []
-    for i in range(n):
-        im = img[min(i, img.shape[0] - 1)]
+    src_cache = {}          # image idx -> encoded source (batch broadcast
+    for i in range(n):      # repeats the last image: encode each ONCE —
+        ii = min(i, img.shape[0] - 1)   # shared feats, not N copies)
         ai = min(i, len(waves) - 1)
         wave = waves[ai]
         used_audio_idx.append(ai)
-        model_in, _bbox = comfy_image_to_model_input(
-            im, cfg.input_size, cfg.rgba_conversion, cfg.bkg_color_hex,
-            face_align=face_align, face_margin=cfg.face_margin)
+        if ii not in src_cache:
+            model_in, _bbox = comfy_image_to_model_input(
+                img[ii], cfg.input_size, cfg.rgba_conversion,
+                cfg.bkg_color_hex,
+                face_align=face_align, face_margin=cfg.face_margin)
+            src_cache[ii] = pipe.encode_image(jnp.asarray(model_in))
         wave_n = jnp.asarray(normalize_waveform(wave, float_pipe.fe)[None])
-        img_dev = jnp.asarray(model_in)
         t_frames = audio_num_frames(wave_n.shape[-1], cfg)
-        s_r, _lam, feats, r_s = pipe.encode_image(img_dev)
+        s_r, _lam, feats, r_s = src_cache[ii]
         wa = pipe.encode_audio(wave_n, t_frames)
         we = pipe.emotion_latent(wave_n, emotion)
         r_d = pipe.sample(r_s, wa, we, seed=seed + i,

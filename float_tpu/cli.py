@@ -128,7 +128,8 @@ def cmd_generate(args):
             for start, frames in pipe.pipeline.generate_stream(
                     jnp.asarray(model_in), wave_n, emotion=args.emotion,
                     seed=args.seed, a_cfg_scale=args.a_cfg_scale,
-                    e_cfg_scale=args.e_cfg_scale, progress=progress):
+                    e_cfg_scale=args.e_cfg_scale, fps=args.fps,
+                    progress=progress):
                 if first[0] is None:
                     first[0] = time.perf_counter() - t0
                 total += frames.shape[0]

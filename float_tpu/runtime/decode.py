@@ -369,6 +369,15 @@ def _chunk_sizes(t_frames: int, fb: int, bucketed: bool) -> list:
     return sizes
 
 
+def _supports_buckets(chunk_fn) -> bool:
+    """Remainder-chunk bucketing needs a chunk fn that accepts any frame
+    count: the default _decode_chunk does; an override only does if it
+    says so (chunk_fn.supports_buckets — the AOT wrapper sets it; the
+    shard_map mesh fn does NOT: its frame batch must stay divisible by
+    the mesh, so mesh mode pads to full decode_batch chunks)."""
+    return chunk_fn is None or getattr(chunk_fn, "supports_buckets", False)
+
+
 def _cast_params(params, dtype):
     """Cast the synthesis pytree unless it already matches ``dtype``.
 
@@ -400,7 +409,7 @@ def decode_latents(
     """
     t_frames = r_d.shape[0]
     fb = decode_batch
-    sizes = _chunk_sizes(t_frames, fb, bucketed=chunk_fn is None)
+    sizes = _chunk_sizes(t_frames, fb, bucketed=_supports_buckets(chunk_fn))
     n_chunks = len(sizes)
     t_pad = sum(sizes)
 
@@ -472,7 +481,7 @@ def decode_latents_to_host(
     import numpy as np
     t_frames = r_d.shape[0]
     fb = decode_batch
-    sizes = _chunk_sizes(t_frames, fb, bucketed=chunk_fn is None)
+    sizes = _chunk_sizes(t_frames, fb, bucketed=_supports_buckets(chunk_fn))
     n_chunks = len(sizes)
     t_pad = sum(sizes)
 
@@ -645,13 +654,22 @@ def decode_clips_to_host(
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
 
-    # per-clip prepared inputs + outputs
-    prep = []
+    # per-clip metadata + host outputs; device-side inputs are prepared
+    # LAZILY one clip at a time (_prep) so N clips never pin N casted /
+    # transposed skip-map copies in HBM simultaneously
+    metas = []                      # (t_frames, sizes) per clip
     outs = []
     total_chunks = 0
-    for s_r, feats, r_d in clips:
+    for _s_r, _feats, r_d in clips:
         t_frames = r_d.shape[0]
-        sizes = _chunk_sizes(t_frames, fb, bucketed=chunk_fn is None)
+        sizes = _chunk_sizes(t_frames, fb, bucketed=_supports_buckets(chunk_fn))
+        metas.append((t_frames, sizes))
+        outs.append(np.empty((t_frames, size, size, 3), np.float32))
+        total_chunks += len(sizes)
+
+    def _prep(k):
+        s_r, feats, r_d = clips[k]
+        t_frames, sizes = metas[k]
         wa = (s_r.astype(jnp.float32)
               + r_d.astype(jnp.float32)).astype(dtype)
         if sum(sizes) > t_frames:
@@ -659,16 +677,16 @@ def decode_clips_to_host(
                          mode="edge")
         feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1))
                    for f in feats]
-        prep.append((wa, feats_c, t_frames, sizes))
-        outs.append(np.empty((t_frames, size, size, 3), np.float32))
-        total_chunks += len(sizes)
+        return wa, feats_c
 
     pending = []                    # (clip_idx, chunk_idx, dev)
     all_stats, all_flags = [], []
     chunk_keys = []                 # (clip_idx, chunk_idx) per dispatch
     n_emitted = 0
     paths = _path_get(size)
-    for k, (wa, feats_c, t_frames, sizes) in enumerate(prep):
+    for k in range(len(clips)):
+        wa, feats_c = _prep(k)
+        _t, sizes = metas[k]
         for ci, sz in enumerate(sizes):
             dev, stats, flags = fn(params_c, wa[ci * fb:ci * fb + sz],
                                    feats_c, size=size,
@@ -682,12 +700,13 @@ def decode_clips_to_host(
             all_flags.append(flags)
             if len(pending) > 1:
                 kk, cc, dv = pending.pop(0)
-                _drain((cc, dv), outs[kk], fb, prep[kk][2], uint8_transfer)
+                _drain((cc, dv), outs[kk], fb, metas[kk][0], uint8_transfer)
                 n_emitted += 1
                 if frame_callback is not None:
                     frame_callback(n_emitted - 1, total_chunks)
+        del wa, feats_c             # free this clip's casted copies
     for kk, cc, dv in pending:
-        _drain((cc, dv), outs[kk], fb, prep[kk][2], uint8_transfer)
+        _drain((cc, dv), outs[kk], fb, metas[kk][0], uint8_transfer)
         n_emitted += 1
         if frame_callback is not None:
             frame_callback(n_emitted - 1, total_chunks)
@@ -695,12 +714,17 @@ def decode_clips_to_host(
     if redo:
         logger.info("re-decoding %d/%d chunks with the beyond-D fixup "
                     "program", len(redo), total_chunks)
+    redo_by_clip = {}
     for di in redo:
         kk, cc = chunk_keys[di]
-        wa, feats_c, t_frames, sizes = prep[kk]
-        dev, _ = fn(params_c, wa[cc * fb:cc * fb + sizes[cc]], feats_c,
-                    size=size,
-                    out_u8=uint8_transfer, blur_kernel=blur_kernel,
-                    warp_disp=disp, with_stats=True)
-        _drain((cc, dev), outs[kk], fb, t_frames, uint8_transfer)
+        redo_by_clip.setdefault(kk, []).append(cc)
+    for kk, ccs in redo_by_clip.items():
+        wa, feats_c = _prep(kk)
+        t_frames, sizes = metas[kk]
+        for cc in ccs:
+            dev, _ = fn(params_c, wa[cc * fb:cc * fb + sizes[cc]], feats_c,
+                        size=size,
+                        out_u8=uint8_transfer, blur_kernel=blur_kernel,
+                        warp_disp=disp, with_stats=True)
+            _drain((cc, dev), outs[kk], fb, t_frames, uint8_transfer)
     return outs

@@ -213,6 +213,10 @@ class FloatPipeline:
                 "decode_chunk", _decode_chunk,
                 ("size", "out_u8", "channels_last", "blur_kernel",
                  "warp_disp", "with_stats", "fixup", "warp_path"))
+            # the AOT wrapper compiles per (shape, statics) key, so the
+            # remainder-chunk bucket programs cache fine — keep the
+            # measured bucketing win (decode._supports_buckets)
+            self._chunk_fn.supports_buckets = True
 
         # pre-cast ONCE: the per-clip pytree cast was ~200 device
         # dispatches on every decode call (decode._cast_params skips
@@ -358,16 +362,22 @@ class FloatPipeline:
                  emotion: str = "none", seed: Optional[int] = None,
                  a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
                  nfe=None, ode_method=None, progress=None,
-                 source: Optional[SourceLatents] = None) -> jnp.ndarray:
+                 source: Optional[SourceLatents] = None,
+                 fps: Optional[float] = None) -> jnp.ndarray:
         """Full pipeline: (1,3,S,S) image + (1,N) audio -> (T,S,S,3) frames.
 
         Mirrors FLOAT.inference (reference: FLOAT.py:255-298).
         ``progress(stage, i, n)`` reports the encode/audio/emotion/sample
         stages at dispatch and the decode per chunk.  ``source=`` (from
         prepare_source) reuses a pre-encoded image; ``img`` may then be
-        None.
+        None.  ``fps`` overrides the output frame rate for THIS clip
+        (frame count + audio-feature grid, like float_process's fps
+        argument); the sampler's 2 s chunking stays on the pipeline
+        config so compiled programs are reused across fps values.
         """
-        t_frames = audio_num_frames(wave.shape[-1], self.cfg)
+        t_frames = audio_num_frames(
+            wave.shape[-1],
+            self.cfg if fps is None else self.cfg.replace(fps=fps))
         s_r, _lam, feats, r_s = self._resolve_source(img, source, progress)
         wa = self.encode_audio(wave, t_frames)
         _report(progress, "encode_audio")
@@ -384,7 +394,8 @@ class FloatPipeline:
                         a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
                         nfe=None, ode_method=None,
                         uint8_transfer: bool = True, progress=None,
-                        source: Optional[SourceLatents] = None):
+                        source: Optional[SourceLatents] = None,
+                        fps: Optional[float] = None):
         """Streaming generation: yields (start_frame, frames (k, S, S, 3)
         float32 numpy in [0,1]) as soon as each decode chunk reaches the
         host, instead of returning the whole clip at the end.
@@ -404,7 +415,8 @@ class FloatPipeline:
         from .decode import decode_latents_stream
 
         cfg = self.cfg
-        t_frames = audio_num_frames(wave.shape[-1], cfg)
+        t_frames = audio_num_frames(
+            wave.shape[-1], cfg if fps is None else cfg.replace(fps=fps))
         s_r, _lam, feats, r_s = self._resolve_source(img, source, progress)
         wa = self.encode_audio(wave, t_frames)
         _report(progress, "encode_audio")

@@ -28,6 +28,7 @@ MACHINE instead of once per process.
 """
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 import os
@@ -39,10 +40,29 @@ import jax
 logger = logging.getLogger("float_tpu.aot")
 
 
+@functools.lru_cache(maxsize=1)
+def _code_fingerprint() -> str:
+    """Hash of every float_tpu source file.  Part of the cache key: a
+    blob compiled from OLD model code must never be served after a source
+    change (deserialize would succeed — the executable is self-contained
+    — and silently run stale math)."""
+    import float_tpu
+    root = os.path.dirname(os.path.abspath(float_tpu.__file__))
+    h = hashlib.sha256()
+    for dirpath, dirnames, files in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                h.update(fn.encode())
+                with open(os.path.join(dirpath, fn), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def _key_of(name: str, args, kwargs) -> str:
     leaves, treedef = jax.tree.flatten((args, kwargs))
     sig = [name, jax.__version__, jax.devices()[0].device_kind,
-           str(treedef)]
+           _code_fingerprint(), str(treedef)]
     for leaf in leaves:
         if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
             sig.append(f"{tuple(leaf.shape)}:{leaf.dtype}")

@@ -202,9 +202,40 @@ def test_readiness_check_load_gate(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     res = subprocess.run(
         [sys.executable, "tools/readiness_check.py", "--checkpoint", path,
-         "--skip-probe"],
+         "--skip-probe", "--platform", "cpu"],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert res.returncode == 0, res.stdout + res.stderr
     assert "READY" in res.stdout
     assert "[load] ok" in res.stdout
+
+
+def test_corrupt_warp_profile_does_not_block_load(tmp_path):
+    """A broken warp_profile.json next to the checkpoint is advisory perf
+    seeding — loading must log + continue, not raise."""
+    import os
+    from test_pipeline import TINY, TINY_W2V, TINY_SER
+    from test_api import _flatten
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline
+    from float_tpu.api.nodes import load_float_models
+    from safetensors.numpy import save_file
+
+    p = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER).params
+    flat = {}
+    flat.update(_flatten(p["encoder"], "motion_autoencoder.enc"))
+    flat.update(_flatten(p["synthesis"], "motion_autoencoder.dec"))
+    flat.update(_flatten(p["audio_encoder"]["wav2vec2"], "audio_encoder.wav2vec2"))
+    flat.update(_flatten(p["audio_encoder"]["audio_projection"],
+                         "audio_encoder.audio_projection"))
+    emo = dict(p["emotion"])
+    cls = emo.pop("classifier")
+    flat.update(_flatten(emo, "emotion_encoder.wav2vec2_for_emotion.wav2vec2"))
+    flat.update(_flatten(cls, "emotion_encoder.wav2vec2_for_emotion.classifier"))
+    flat.update(_flatten(p["fmt"], "fmt"))
+    path = str(tmp_path / "FLOAT.safetensors")
+    save_file(flat, path)
+    with open(os.path.join(str(tmp_path), "warp_profile.json"), "w") as f:
+        f.write("{ truncated garbage")
+
+    pipe = load_float_models(path, cfg=TINY)
+    assert pipe.weights == "real"

@@ -160,3 +160,22 @@ def test_generate_with_prepared_source(pipe, rng):
 
     with pytest.raises(ValueError):
         pipe.generate(None, wave, emotion="happy")
+
+
+def test_generate_fps_override(pipe, rng):
+    """fps= changes the output frame count (T = ceil(N*fps/sr)) for both
+    generate and generate_stream without touching the pipeline config."""
+    img = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32) * 0.1)
+
+    t_default = audio_num_frames(8000, pipe.cfg)
+    t_double = audio_num_frames(8000, pipe.cfg.replace(fps=pipe.cfg.fps * 2))
+    assert t_double > t_default
+
+    out = pipe.generate(img, wave, seed=1, fps=pipe.cfg.fps * 2)
+    assert out.shape[0] == t_double
+
+    total = sum(f.shape[0] for _s, f in pipe.generate_stream(
+        img, wave, seed=1, fps=pipe.cfg.fps * 2, uint8_transfer=False))
+    assert total == t_double
+    assert pipe.cfg.fps != pipe.cfg.fps * 2   # config untouched

@@ -424,3 +424,35 @@ def test_aot_cache_pipeline_roundtrip(tmp_path, inputs):
     p2 = FloatPipeline(base.params, TINY, TINY_W2V, TINY_SER, aot_dir=d)
     got2 = np.asarray(p2.generate(img, wave, emotion="happy", seed=4))
     np.testing.assert_allclose(got2, ref, atol=1e-5)
+
+
+def test_aot_chunk_fn_keeps_remainder_bucketing(tmp_path):
+    """The AOT-wrapped decode chunk fn must not disable remainder-chunk
+    bucketing (it compiles per shape key, so bucket programs cache fine);
+    the mesh shard_map fn (no marker) must still pad to full chunks."""
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline, FloatPipeline
+    from float_tpu.runtime.decode import _supports_buckets, _chunk_sizes
+
+    assert _supports_buckets(None)
+    assert not _supports_buckets(lambda *a, **k: None)   # mesh-style override
+
+    base = build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER)
+    p = FloatPipeline(base.params, TINY, TINY_W2V, TINY_SER,
+                      aot_dir=str(tmp_path / "aot"))
+    assert _supports_buckets(p._chunk_fn)
+    # and bucketing actually differs: 250 frames at fb=16 -> 15x16 + 1x12
+    assert _chunk_sizes(250, 16, bucketed=True) == [16] * 15 + [12]
+    assert _chunk_sizes(250, 16, bucketed=False) == [16] * 16
+
+
+def test_aot_key_includes_code_fingerprint(monkeypatch):
+    """Executable cache keys change when the package source changes, so a
+    populated cache dir can never serve stale-math executables."""
+    from float_tpu.utils import aot_cache as A
+
+    fp = A._code_fingerprint()
+    assert fp and fp == A._code_fingerprint()       # stable in-process
+    k1 = A._key_of("stage", (np.zeros((2, 3), np.float32),), {})
+    monkeypatch.setattr(A, "_code_fingerprint", lambda: "deadbeef")
+    k2 = A._key_of("stage", (np.zeros((2, 3), np.float32),), {})
+    assert k1 != k2

@@ -125,9 +125,15 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--decode-batch", type=int, default=16)
     ap.add_argument("--platform", default=None,
-                    help="force a jax platform for the parity gate (cpu)")
+                    help="force a jax platform for the WHOLE run (cpu) — "
+                         "env JAX_PLATFORMS is pinned on axon transports, "
+                         "only jax.config.update works")
     ap.add_argument("--skip-probe", action="store_true")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     params = gate_load(args.checkpoint)
     if args.activations:
