@@ -41,7 +41,8 @@ from ..models.encoder import encode_image as _encode_image_fn
 from ..models.synthesis import direction as _direction_fn
 from ..models.wav2vec2 import predict_emotion as _predict_emotion
 from ..runtime.decode import decode_latents_to_host
-from ..runtime.pipeline import FloatPipeline, audio_num_frames, one_hot_emotion
+from ..runtime.pipeline import (FloatPipeline, _stage_cb, audio_num_frames,
+                                one_hot_emotion)
 from ..runtime.sampling import sample_motion_latents
 from ..ops import nearest_interpolate_time
 from .types import (AppearancePipe, AudioProjectionLayer, BBox, EmotionModelPipe,
@@ -226,9 +227,7 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
     # streamed host transfer: uint8 on the wire, chunk transfers overlap
     # decode compute; one optimistic dispatch stream across ALL clips
     from ..runtime.decode import decode_clips_to_host
-    cb = None
-    if progress is not None:
-        cb = lambda i, nn: progress("decode", i + 1, nn)  # noqa: E731
+    cb = _stage_cb(progress, "decode")
     all_frames = decode_clips_to_host(
         pipe._syn_cast, clips,
         size=cfg.input_size, decode_batch=cfg.decode_batch,
@@ -421,9 +420,7 @@ def float_decode_latents_to_images(float_pipe: FloatPipe,
     clips = [(appearance_pipe.h_source[i:i + 1],
               [f[i:i + 1] for f in appearance_pipe.feats], r_d[i])
              for i in range(b)]
-    cb = None
-    if progress is not None:
-        cb = lambda i, n: progress("decode", i + 1, n)  # noqa: E731
+    cb = _stage_cb(progress, "decode")
     outs = decode_clips_to_host(
         float_pipe.pipeline._syn_cast, clips,
         size=cfg.input_size, decode_batch=cfg.decode_batch,

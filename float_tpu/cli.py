@@ -54,6 +54,11 @@ def make_cli_progress(enabled: bool = True):
         return None
     state = {"bar": None, "stage": None}
     use_tqdm = sys.stderr.isatty()
+    if use_tqdm:
+        try:                     # tqdm is optional — plain log lines without
+            from tqdm import tqdm  # noqa: F401
+        except ImportError:
+            use_tqdm = False
 
     def progress(stage, i, n):
         if not use_tqdm:

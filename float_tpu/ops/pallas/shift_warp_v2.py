@@ -215,7 +215,10 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
 
         if d <= 1:
             acc = taps(d)
-            ovf_ref[1] = jnp.where(first, 0, ovf_ref[1])   # no spread stat
+            # -1 = "no spread statistic computed", matching warp_cl's
+            # non-v2 paths — 0 would make _path_fold read a valid spread
+            # and select fast4 for a program that never measured one
+            ovf_ref[1] = jnp.where(first, -1, ovf_ref[1])
         else:
             # flows are spatially smooth: within one (tile, frame-group
             # block) the integer displacements almost always span <= 2, so

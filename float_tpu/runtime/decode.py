@@ -302,12 +302,21 @@ def _path_fold(size: int, spread_max) -> tuple:
 
 
 def seed_paths(size: int, paths) -> tuple:
-    """Pre-seed the per-level fast-path selection (from a warp profile)."""
+    """Pre-seed the per-level fast-path selection (from a warp profile).
+
+    Merges toward the SAFER (higher-capacity) path like seed_ratchet's
+    max-merge: a profile must never un-demote a level the running process
+    already demoted from observed spread misses — that would re-introduce
+    the miss/re-decode flapping the ratchet's monotonicity prevents."""
     from ..models.synthesis import n_kernel_levels
     n = n_kernel_levels(size)
     paths = tuple(str(p) for p in paths)
     if len(paths) != n or any(p not in _PATH_CAPACITY for p in paths):
         raise ValueError(f"bad path profile {paths} for size {size}")
+    cur = _PATH_RATCHET.get(size)
+    if cur is not None:
+        paths = tuple(p if _PATH_CAPACITY[p] >= _PATH_CAPACITY[c] else c
+                      for p, c in zip(paths, cur))
     _PATH_RATCHET[size] = paths
     return paths
 

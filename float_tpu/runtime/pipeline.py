@@ -242,7 +242,9 @@ class FloatPipeline:
 
     def _resolve_source(self, img, source, progress):
         if source is not None:
-            _report(progress, "encode_image")
+            # no encoder forward ran — report the reuse as its own stage
+            # so progress UIs don't display a phantom encode
+            _report(progress, "reuse_source")
             return source
         if img is None:
             raise ValueError("provide img or source=")
@@ -372,8 +374,10 @@ class FloatPipeline:
         prepare_source) reuses a pre-encoded image; ``img`` may then be
         None.  ``fps`` overrides the output frame rate for THIS clip
         (frame count + audio-feature grid, like float_process's fps
-        argument); the sampler's 2 s chunking stays on the pipeline
-        config so compiled programs are reused across fps values.
+        argument); the sampler's chunk span stays on the pipeline config,
+        exactly like the reference, whose FLOAT.num_frames_for_clip is
+        fixed at construction (FLOAT.py:36) while the adv nodes' fps
+        override only re-lays the audio grid (nodes_adv.py:455,463).
         """
         t_frames = audio_num_frames(
             wave.shape[-1],
@@ -439,7 +443,11 @@ class FloatPipeline:
         we_p = pad_to_chunks(we, clip) if dynamic else we
 
         def latent_chunks():
-            carry = sampler_init_carry(b, cfg, wa.dtype)
+            # carry in the SAMPLER dtype: _sample_chunk returns its carry in
+            # cfg.sampler_dtype, so an f32 init would give chunk 0 different
+            # carry avals than chunk 1+ — a second full FMT-sampler compile
+            # under sampler_dtype='bfloat16'
+            carry = sampler_init_carry(b, cfg, jnp.dtype(cfg.sampler_dtype))
             done = 0
             for c in range(n_chunks):
                 x0 = chunk_noise(key, c, b, cfg, wa.dtype)

@@ -405,6 +405,22 @@ def test_sampler_dtype_bf16_close_to_f32(inputs):
     assert err < 0.1 * scale, (err, scale)     # bf16 integration floor
 
 
+def test_stream_bf16_sampler_compiles_once(inputs):
+    """generate_stream under sampler_dtype='bfloat16' must init its carry
+    in the SAMPLER dtype: an f32 init would give chunk 0 different carry
+    avals than chunk 1+ and silently compile the FMT sampler twice."""
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline
+    img, wave = inputs
+    p16 = build_synthetic_pipeline(TINY.replace(sampler_dtype="bfloat16"),
+                                   TINY_W2V, TINY_SER)
+    parts = [f for _s, f in p16.generate_stream(img, wave, emotion="happy",
+                                                seed=3,
+                                                uint8_transfer=False)]
+    assert sum(p.shape[0] for p in parts) == audio_num_frames(16000, TINY)
+    assert p16._sample_chunk._cache_size() == 1, \
+        "per-chunk sampler compiled more than once across stream chunks"
+
+
 def test_aot_cache_pipeline_roundtrip(tmp_path, inputs):
     """FloatPipeline(aot_dir=...): executables persist to disk and a
     FRESH pipeline instance (simulated fresh process) loads + runs them

@@ -54,6 +54,30 @@ def test_disp_ratchet_monotone():
     D._DISP_RATCHET.pop(512, None)
 
 
+def test_seed_paths_merges_toward_safer():
+    """A warp profile must never un-demote a path the running process
+    already demoted (monotone like seed_ratchet): seeding fast4 over a
+    live fast6 keeps fast6; seeding fast6 over fast4 upgrades safety."""
+    size = 512
+    D._PATH_RATCHET.pop(size, None)
+    try:
+        assert D.seed_paths(size, ("fast4", "fast6", "auto")) == \
+            ("fast4", "fast6", "auto")
+        # a second (stale) profile with less-safe paths must not win
+        assert D.seed_paths(size, ("fast4", "fast4", "fast4")) == \
+            ("fast4", "fast6", "auto")
+        # but a safer profile upgrades
+        assert D.seed_paths(size, ("fast6", "fast6", "auto")) == \
+            ("fast6", "fast6", "auto")
+        import pytest
+        with pytest.raises(ValueError):
+            D.seed_paths(size, ("fast4",))          # wrong level count
+        with pytest.raises(ValueError):
+            D.seed_paths(size, ("fast9", "auto", "auto"))
+    finally:
+        D._PATH_RATCHET.pop(size, None)
+
+
 def test_decode_stats_empty_for_small_sizes(rng):
     """Sizes below 128² have no kernel levels: the probe returns an empty
     stats vector and the ratchet stays at its default."""

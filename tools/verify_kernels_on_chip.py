@@ -150,6 +150,45 @@ def main():
         print(f"{'OK ' if ok else 'FAIL'} rgb-fused {h}²×{c} path={path} "
               f"groups={groups}: max|err|={err:.2e} (|ref|max {scale:.2f})")
 
+    # 2d. synthesis-level composition on real hardware: the production
+    # optimistic decode (packed ToRGB + FOLDED last level + g-major
+    # unpack at the mid levels) vs the always-fixup reference program —
+    # guards the last-level plumbing (skip-chain adds, folded bias
+    # tiling, mask commute) that the bare-kernel sections can't see.
+    import math as _math
+    from float_tpu.config import CHANNELS_MAP
+    from float_tpu.models import init as minit
+    from float_tpu.models import synthesis as S
+    from float_tpu.runtime.decode import (decode_latents, _decode_chunk,
+                                          _cast_params)
+
+    sz, dim_w, dim_m, t = 512, 512, 20, 16
+    dec = minit.init_synthesis(sz, dim_w, dim_m, seed=3)
+    res_list = [2 ** k for k in range(3, int(_math.log2(sz)) + 1)]
+    feats = [jax.random.normal(jax.random.fold_in(key, 1000 + r),
+                               (1, CHANNELS_MAP[r], r, r),
+                               jnp.float32) * 0.5 for r in res_list]
+    s_r = jax.random.normal(jax.random.fold_in(key, 41), (1, dim_w)) * 0.3
+    r_d = jax.random.normal(jax.random.fold_in(key, 42), (t, dim_w)) * 0.3
+    assert S.FOLDED_LAST, "production FOLDED_LAST flag is off"
+    prod = decode_latents(dec, s_r, feats, r_d, size=sz, decode_batch=8,
+                          compute_dtype=jnp.bfloat16)
+    dt = jnp.bfloat16
+    wa = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dt)
+    feats_c = [jnp.transpose(f.astype(dt), (0, 2, 3, 1)) for f in feats]
+    dec_c = _cast_params(dec, dt)
+    refs = []
+    for c0 in range(0, t, 8):
+        refs.append(_decode_chunk(dec_c, wa[c0:c0 + 8], feats_c, sz,
+                                  fixup=True))
+    ref = jnp.concatenate(refs, axis=0)
+    err = float(jnp.max(jnp.abs(prod.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    ok = err < 3.2e-2            # inter-program bf16 floor on [0,1] frames
+    failures += not ok
+    print(f"{'OK ' if ok else 'FAIL'} synthesis-e2e {sz}² packed+folded "
+          f"vs fixup program: max|err|={err:.2e}")
+
     # 3. timings (auto cond chain vs the trace-time cond-free paths)
     for (h, c) in [(512, 32), (256, 64), (128, 128)]:
         feat = jax.random.normal(key, (1, h, h, c), jnp.bfloat16)
