@@ -226,9 +226,10 @@ def warp_cl(feat, grid, use_kernel: bool = True, max_disp: int = 2,
     (see warp_shared_feat_v2); exact non-kernel paths report [0, -1]
     (no spread statistic).
 
-    ``path`` ('auto' | 'fast4' | 'fast6', optimistic v2 levels only)
-    selects the cond-free recentered fast path at trace time; outputs are
-    exact iff the reported spread <= 2 / 4 (the decode loop's path
+    ``path`` ('auto' | 'fast3' | 'fast4' | 'fast5' | 'fast6', optimistic
+    v2 levels only)
+    selects the cond-free recentered fast path at trace time; an n-tap
+    path is exact iff the reported spread <= n - 2 (the decode loop's path
     ratchet validates and re-decodes misses)."""
     b, h, w, c = feat.shape
     same_size = grid.shape[1] == h and grid.shape[2] == w

@@ -257,7 +257,12 @@ def _kernel(gy_ref, gx_ref, feat_hbm, out_ref, ovf_ref, win, win_rot, sem,
                        & (dx_mn >= ox - 1) & (dx_mx + 1 <= ox + n - 2))
                 return oy, ox, cov
 
-            if path == "fast4":
+            if path == "fast3":
+                # 9-tap tier (spread <= 1): the smallest recentered path —
+                # bilinear needs a 2x2 window per pixel, +1 for the spread
+                oy3, ox3, _ = offsets(3)
+                acc = fastn(3, oy3, ox3)
+            elif path == "fast4":
                 # trace-time-selected: NO conds; exact iff every tile
                 # block's spread <= 2, which the caller validates from the
                 # SMEM spread stat at its post-loop sync (invalid chunks
@@ -529,8 +534,8 @@ def warp_shared_feat_v2(feat1_nhwc: jnp.ndarray, grid: jnp.ndarray,
     loop does).
 
     ``path`` != 'auto' selects the cond-free recentered fast path at
-    trace time (optimistic mode only): the output is exact iff
-    flags[1] <= 2 ('fast4') / 4 ('fast6') — the caller validates and
+    trace time (optimistic mode only): a recentered n-tap path ('fast3'
+    … 'fast6') is exact iff flags[1] <= n - 2 — the caller validates and
     re-decodes misses with the auto program."""
     from ..nhwc import grid_sample_bilinear_nhwc
     from .shift_warp_kernel import _overflow_mask

@@ -259,7 +259,7 @@ def _ratchet_apply_max(size: int, all_stats: list) -> tuple:
 # (the flagged chunks re-decode with the auto program — same safety
 # pattern as the D ratchet).
 
-_PATH_CAPACITY = {"fast4": 2, "fast5": 3, "fast6": 4,
+_PATH_CAPACITY = {"fast3": 1, "fast4": 2, "fast5": 3, "fast6": 4,
                   "auto": 1 << 30}
 _PATH_RATCHET: dict = {}       # size -> tuple[str] per kernel level
 
@@ -270,6 +270,10 @@ def _path_get(size: int) -> tuple:
 
 
 def _path_for_spread(sp: int) -> str:
+    if sp <= 1:
+        # real-checkpoint flows may be smoother than the synthetic probe
+        # flows (which sit at spread 2 at 512²); 9 taps vs fast4's 16
+        return "fast3"
     if sp <= 2:
         return "fast4"
     if sp <= 3:

@@ -327,12 +327,12 @@ def test_path_ratchet_select_and_demote():
         flags = [jnp.asarray([0, 1, 0, 3, 0, 5], jnp.int32)]
         redo = D._sync_stats_flags(size, stats, flags, ("auto",) * 3)
         assert redo == []                      # auto covers everything
-        assert D._path_get(size) == ("fast4", "fast5", "auto")
+        assert D._path_get(size) == ("fast3", "fast5", "auto")
         # next clip dispatched with those paths; level 0 now spreads 3
         flags = [jnp.asarray([0, 3, 0, 3, 0, 2], jnp.int32)]
         redo = D._sync_stats_flags(size, stats, flags,
-                                   ("fast4", "fast5", "auto"))
-        assert redo == [0]                     # fast4 capacity 2 < 3
+                                   ("fast3", "fast5", "auto"))
+        assert redo == [0]                     # fast3 capacity 1 < 3
         assert D._path_get(size) == ("fast5", "fast5", "auto")
         # and a spread-4 clip demotes fast5 -> fast6
         flags = [jnp.asarray([0, 4, 0, 3, 0, 2], jnp.int32)]

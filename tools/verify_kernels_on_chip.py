@@ -105,7 +105,8 @@ def main():
             _, flags_auto = warp_shared_feat_v2(feat, grid, max_disp=d,
                                                 apply_fixup=False)
             spread = int(flags_auto[1])
-            for path, cap in (("fast4", 2), ("fast5", 3), ("fast6", 4)):
+            for path, cap in (("fast3", 1), ("fast4", 2), ("fast5", 3),
+                              ("fast6", 4)):
                 out, flags = warp_shared_feat_v2(feat, grid, max_disp=d,
                                                  apply_fixup=False, path=path)
                 if spread <= cap and int(flags_auto[0]) == 0:
@@ -195,6 +196,7 @@ def main():
         grid = smooth_grid(jax.random.fold_in(key, h), b, h, h, 1.2)
         row = f"time {h}²×{c} D=2:"
         for label, kw in (("auto", dict()),
+                          ("fast3", dict(apply_fixup=False, path="fast3")),
                           ("fast4", dict(apply_fixup=False, path="fast4")),
                           ("fast5", dict(apply_fixup=False, path="fast5")),
                           ("fast6", dict(apply_fixup=False, path="fast6"))):
