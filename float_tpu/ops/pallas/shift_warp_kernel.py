@@ -106,7 +106,7 @@ def _shift_warp_nhwc(feat_padded, gy, gx, d: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TC), lambda b, i, j, k: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TR, TC, cb), lambda b, i, j, k: (b, i, j, k),
                                memory_space=pltpu.VMEM),

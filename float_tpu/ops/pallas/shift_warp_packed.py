@@ -113,7 +113,7 @@ def _packed_warp(feat_tiled, gy4, gx4, d: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GROUPS, TR, TC), lambda b, i, j: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TR, TC, 128), lambda b, i, j: (b, i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b4, h, w, 128), out_dtype),

@@ -346,7 +346,7 @@ def _packed_warp_v2(feat_tiled, gyg, gxg, d: int, groups: int, tr: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(pl.BlockSpec((nb, tr, TC, 128),
                                 lambda i, j, b: (b, i, j, 0)),
@@ -402,7 +402,7 @@ def _packed_warp_v2_rgb(feat_tiled, gyg, gxg, wblk, d: int, groups: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, groups, tr, TC), lambda i, j, b: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((128, no), lambda i, j, b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -124,6 +124,46 @@ def test_d1_reports_no_spread_stat():
     assert int(flags[1]) == -1
 
 
+def test_synthesis_packed_folded_vs_fixup(monkeypatch):
+    """The PRODUCTION last-level composition (packed warp + block-diagonal
+    ToRGB + space-to-depth FOLDED conv chain, models/synthesis) vs the
+    always-fixup unpacked program, end-to-end through synthesis_cl on CPU.
+    Previously this plumbing (skip-chain adds, folded bias tiling, mask
+    commute) was only covered on-chip (verify_kernels_on_chip 2d)."""
+    from float_tpu.models import init as minit
+    from float_tpu.models import synthesis as S
+
+    small = {4: 32, 8: 32, 16: 32, 32: 32, 64: 32, 128: 32}
+    monkeypatch.setattr(minit, "CHANNELS_MAP", small)
+    dec = minit.init_synthesis(128, 32, 20, seed=2)
+    # shrink the flow-pred weights so the random-init flows stay within
+    # D=2 (beyond-D chunks would be INVALID in optimistic mode by design)
+    for lvl in dec["to_flows"]:
+        conv = dec["to_flows"][lvl]["conv"]
+        conv["weight"] = conv["weight"] * 0.05
+    dt = jnp.bfloat16
+    dec16 = jax.tree.map(lambda a: a.astype(dt), dec)
+    rng = np.random.default_rng(9)
+    feats = [jnp.asarray(rng.standard_normal((1, r, r, small[r]))
+                         .astype(np.float32) * 0.5).astype(dt)
+             for r in (8, 16, 32, 64, 128)]
+    wa = jnp.asarray(rng.standard_normal((B, 32)).astype(np.float32)
+                     * 0.3).astype(dt)
+
+    assert S.FOLDED_LAST
+    with pltpu.force_tpu_interpret_mode():
+        img, _, stats, flags = S.synthesis_cl(
+            dec16, wa, feats, 128, collect_flow_stats=True,
+            apply_fixup=False)
+        ref, _ = S.synthesis_cl(dec16, wa, feats, 128)
+        img, ref = jax.block_until_ready((img, ref))
+    fl = np.asarray(flags).reshape(-1, 2)
+    assert fl.shape[0] == 1                    # one kernel level at 128²
+    assert fl[0, 0] == 0, "flow beyond D — shrink the to_flow scale more"
+    assert _err(img, ref) < BF16_FLOOR
+    assert img.shape == (B, 128, 128, 3)
+
+
 def test_packed_form_and_rgb_contraction():
     """The packed output + block-diagonal ToRGB einsum (the production
     last-level form, models/synthesis._packed_warp_rgb) equals
