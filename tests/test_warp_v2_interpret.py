@@ -164,6 +164,55 @@ def test_synthesis_packed_folded_vs_fixup(monkeypatch):
     assert img.shape == (B, 128, 128, 3)
 
 
+def test_decode_redo_splice_beyond_d(monkeypatch):
+    """The optimistic decode's re-decode + splice with REAL kernels: big
+    flows overflow the default D=2 on the first clip, the post-loop sync
+    marks those chunks, and the spliced result must equal the always-
+    fixup program (previously on-chip-only coverage: the forced
+    underscaled-D test in PERF.md)."""
+    from float_tpu.models import init as minit
+    from float_tpu.runtime import decode as RD
+
+    small = {4: 32, 8: 32, 16: 32, 32: 32, 64: 32, 128: 32}
+    monkeypatch.setattr(minit, "CHANNELS_MAP", small)
+    dec = minit.init_synthesis(128, 32, 20, seed=6)
+    for lvl in dec["to_flows"]:
+        conv = dec["to_flows"][lvl]["conv"]
+        conv["weight"] = conv["weight"] * 10.0     # flows beyond D=2 (→ 3)
+    rng = np.random.default_rng(21)
+    feats = [jnp.asarray(rng.standard_normal((1, small[r], r, r))
+                         .astype(np.float32) * 0.5)
+             for r in (8, 16, 32, 64, 128)]
+    s_r = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32) * 0.3)
+    r_d = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32) * 0.3)
+
+    RD._DISP_RATCHET.pop(128, None)
+    RD._PATH_RATCHET.pop(128, None)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            prod = RD.decode_latents(dec, s_r, feats, r_d, size=128,
+                                     decode_batch=4,
+                                     compute_dtype=jnp.bfloat16)
+            prod = jax.block_until_ready(prod)
+        # the probe must have seen the beyond-default flows
+        assert RD._ratchet_get(128)[0] > 2, RD._ratchet_get(128)
+        dt = jnp.bfloat16
+        wa = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dt)
+        feats_c = [jnp.transpose(f.astype(dt), (0, 2, 3, 1)) for f in feats]
+        dec_c = RD._cast_params(dec, dt)
+        refs = []
+        with pltpu.force_tpu_interpret_mode():
+            for c0 in (0, 4):
+                refs.append(RD._decode_chunk(dec_c, wa[c0:c0 + 4], feats_c,
+                                             128, fixup=True))
+            refs = jax.block_until_ready(refs)
+        ref = jnp.concatenate(refs, axis=0)
+        assert _err(prod, ref) < BF16_FLOOR / 2    # frames are in [0, 1]
+    finally:
+        RD._DISP_RATCHET.pop(128, None)
+        RD._PATH_RATCHET.pop(128, None)
+
+
 def test_packed_form_and_rgb_contraction():
     """The packed output + block-diagonal ToRGB einsum (the production
     last-level form, models/synthesis._packed_warp_rgb) equals
