@@ -95,7 +95,10 @@ class FloatConfig:
     # the measured-best value on v5e is 24 (463.6 vs 451.9 frames/s at 16,
     # 432 at 20, 345 at 32 — PERF.md round 3; bench.py defaults to it).
     decode_batch: int = 8
-    use_pallas: bool = True              # enable Pallas kernels where available
+    # Pallas warp kernels in the decode (False = exact XLA-gather warps —
+    # the only decode mode that runs on non-TPU backends; the readiness
+    # gate's off-chip flow probe uses it)
+    use_pallas: bool = True
     # FMT sampler compute precision.  float32 (default) matches the
     # reference's torch path; bfloat16 roughly doubles the CFG-ODE
     # stage's MFU (the sampler is the only stage that scales with clip

@@ -34,7 +34,7 @@ logger = logging.getLogger("float_tpu.decode")
 def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
                 warp_disp=2, with_stats=False, fixup=True,
-                warp_path="auto"):
+                warp_path="auto", use_warp_kernel=True):
     """(fb, dim_w) latents -> (fb, S, S, 3) frames in [0,1] f32 or uint8.
 
     channels_last runs the NHWC synthesis path (feats must be NHWC): the
@@ -52,6 +52,13 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
     flag > 0 means the chunk is INVALID beyond-D and must be re-decoded
     with fixup=True — decode_latents does this after its single
     post-loop stats sync.
+
+    ``use_warp_kernel=False`` routes every warp through the exact XLA
+    gather instead of the Pallas kernels — the only decode mode that
+    runs on non-TPU backends (pallas_call cannot lower on XLA:CPU), used
+    by the readiness gate's off-chip flow probe.  The D ratchet still
+    learns (flow_needed_disp is kernel-independent); the fast-path
+    spread stats are kernel-only and stay untouched.
     """
     assert fixup or with_stats, \
         "the optimistic (fixup=False) program reports overflow flags via " \
@@ -64,16 +71,19 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
             img, _, stats, flags = synthesis_cl(
                 params, wa_chunk, feats, size, blur_kernel=blur_kernel,
                 warp_disp=warp_disp, collect_flow_stats=True,
-                apply_fixup=False, warp_path=warp_path)
+                apply_fixup=False, warp_path=warp_path,
+                use_warp_kernel=use_warp_kernel)
         elif with_stats:
             img, _, stats = synthesis_cl(params, wa_chunk, feats, size,
                                          blur_kernel=blur_kernel,
                                          warp_disp=warp_disp,
-                                         collect_flow_stats=True)
+                                         collect_flow_stats=True,
+                                         use_warp_kernel=use_warp_kernel)
         else:
             img, _ = synthesis_cl(params, wa_chunk, feats, size,
                                   blur_kernel=blur_kernel,
-                                  warp_disp=warp_disp)
+                                  warp_disp=warp_disp,
+                                  use_warp_kernel=use_warp_kernel)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         img = (img + 1.0) * 0.5
     else:
@@ -91,7 +101,7 @@ def _chunk_core(params, wa_chunk, feats, size, out_u8=False,
 
 _decode_chunk = partial(jax.jit, static_argnames=(
     "size", "out_u8", "channels_last", "blur_kernel", "warp_disp",
-    "with_stats", "fixup", "warp_path"))(_chunk_core)
+    "with_stats", "fixup", "warp_path", "use_warp_kernel"))(_chunk_core)
 
 
 def make_sharded_chunk_fn(mesh):
@@ -107,11 +117,12 @@ def make_sharded_chunk_fn(mesh):
 
     @partial(jax.jit, static_argnames=("size", "out_u8", "channels_last",
                                        "blur_kernel", "warp_disp",
-                                       "with_stats", "fixup", "warp_path"))
+                                       "with_stats", "fixup", "warp_path",
+                                       "use_warp_kernel"))
     def chunk_fn(params, wa_chunk, feats, size, out_u8=False,
                  channels_last=True, blur_kernel=(1, 3, 3, 1),
                  warp_disp=DEFAULT_WARP_DISP, with_stats=False, fixup=True,
-                 warp_path="auto"):
+                 warp_path="auto", use_warp_kernel=True):
         assert wa_chunk.shape[0] % mesh.size == 0, (
             f"decode_batch {wa_chunk.shape[0]} not divisible by mesh size "
             f"{mesh.size}")
@@ -127,7 +138,8 @@ def make_sharded_chunk_fn(mesh):
                               channels_last=channels_last,
                               blur_kernel=blur_kernel, warp_disp=warp_disp,
                               with_stats=with_stats, fixup=fixup,
-                              warp_path=warp_path)
+                              warp_path=warp_path,
+                              use_warp_kernel=use_warp_kernel)
             if with_stats and not fixup:
                 img, stats, flags = out
                 return img, _allmax(stats), _allmax(flags)
@@ -414,6 +426,7 @@ def decode_latents(
     blur_kernel=(1, 3, 3, 1),
     chunk_fn=None,             # override: e.g. make_sharded_chunk_fn(mesh)
     frame_callback=None,       # optional fn(chunk_idx, n_chunks) progress hook
+    use_warp_kernel: bool = True,   # False: exact-gather warps (off-chip)
 ) -> jnp.ndarray:
     """Decode T frames -> (T, size, size, 3) float32 in [0, 1].
 
@@ -455,7 +468,8 @@ def decode_latents(
         chunk, stats, flags = fn(params_c, wa_c, feats_c, size=size,
                                  blur_kernel=blur_kernel,
                                  warp_disp=disp, with_stats=True,
-                                 fixup=False, warp_path=paths)
+                                 fixup=False, warp_path=paths,
+                                 use_warp_kernel=use_warp_kernel)
         chunks.append(chunk)
         all_stats.append(stats)
         all_flags.append(flags)
@@ -472,7 +486,8 @@ def decode_latents(
         chunks[ci], _ = fn(params_c, wa[ci * fb:ci * fb + sizes[ci]],
                            feats_c,
                            size=size, blur_kernel=blur_kernel,
-                           warp_disp=disp, with_stats=True)
+                           warp_disp=disp, with_stats=True,
+                           use_warp_kernel=use_warp_kernel)
     frames = jnp.concatenate(chunks, axis=0)
     return frames[:t_frames]
 
@@ -481,7 +496,7 @@ def decode_latents_to_host(
     synthesis_params, s_r, feats, r_d, *,
     size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
     blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
-    chunk_fn=None, frame_callback=None,
+    chunk_fn=None, frame_callback=None, use_warp_kernel: bool = True,
 ):
     """Decode + stream frames to HOST memory chunk by chunk.
 
@@ -520,7 +535,8 @@ def decode_latents_to_host(
                                out_u8=uint8_transfer,
                                blur_kernel=blur_kernel,
                                warp_disp=disp, with_stats=True,
-                               fixup=False, warp_path=paths)
+                               fixup=False, warp_path=paths,
+                               use_warp_kernel=use_warp_kernel)
         pending.append((ci, dev))
         all_stats.append(stats)
         all_flags.append(flags)
@@ -547,7 +563,8 @@ def decode_latents_to_host(
         dev, _ = fn(params_c, wa[ci * fb:ci * fb + sizes[ci]], feats_c,
                     size=size,
                     out_u8=uint8_transfer, blur_kernel=blur_kernel,
-                    warp_disp=disp, with_stats=True)
+                    warp_disp=disp, with_stats=True,
+                    use_warp_kernel=use_warp_kernel)
         _drain((ci, dev), out, fb, t_frames, uint8_transfer)
     return out
 
@@ -567,7 +584,7 @@ def decode_latents_stream(
     synthesis_params, s_r, feats, latent_iter, *,
     size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
     blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
-    chunk_fn=None, frame_callback=None,
+    chunk_fn=None, frame_callback=None, use_warp_kernel: bool = True,
 ):
     """Incremental decode: consume (k, dim_w) r_d pieces from
     ``latent_iter`` and yield (start_frame, frames (k', S, S, 3) float32
@@ -603,7 +620,8 @@ def decode_latents_stream(
         wa_c = (s32 + rows.astype(jnp.float32)).astype(dtype)
         dev, stats = fn(params_c, wa_c, feats_c, size=size,
                         out_u8=uint8_transfer, blur_kernel=blur_kernel,
-                        warp_disp=disp, with_stats=True)
+                        warp_disp=disp, with_stats=True,
+                        use_warp_kernel=use_warp_kernel)
         all_stats.append(stats)
         return (start, n_valid, dev)
 
@@ -649,7 +667,7 @@ def decode_clips_to_host(
     synthesis_params, clips, *,
     size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
     blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
-    chunk_fn=None, frame_callback=None,
+    chunk_fn=None, frame_callback=None, use_warp_kernel: bool = True,
 ):
     """Decode SEVERAL clips in one dispatch stream (the batch>1 serving
     path, VERDICT r2 #2).  ``clips`` = list of (s_r (1, dim_w), feats,
@@ -706,7 +724,8 @@ def decode_clips_to_host(
                                    out_u8=uint8_transfer,
                                    blur_kernel=blur_kernel, warp_disp=disp,
                                    with_stats=True, fixup=False,
-                                   warp_path=paths)
+                                   warp_path=paths,
+                                   use_warp_kernel=use_warp_kernel)
             pending.append((k, ci, dev))
             chunk_keys.append((k, ci))
             all_stats.append(stats)
@@ -738,6 +757,7 @@ def decode_clips_to_host(
             dev, _ = fn(params_c, wa[cc * fb:cc * fb + sizes[cc]], feats_c,
                         size=size,
                         out_u8=uint8_transfer, blur_kernel=blur_kernel,
-                        warp_disp=disp, with_stats=True)
+                        warp_disp=disp, with_stats=True,
+                        use_warp_kernel=use_warp_kernel)
             _drain((cc, dev), outs[kk], fb, t_frames, uint8_transfer)
     return outs

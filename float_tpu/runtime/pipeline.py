@@ -212,7 +212,8 @@ class FloatPipeline:
             self._chunk_fn = self._aot.wrap(
                 "decode_chunk", _decode_chunk,
                 ("size", "out_u8", "channels_last", "blur_kernel",
-                 "warp_disp", "with_stats", "fixup", "warp_path"))
+                 "warp_disp", "with_stats", "fixup", "warp_path",
+                 "use_warp_kernel"))
             # the AOT wrapper compiles per (shape, statics) key, so the
             # remainder-chunk bucket programs cache fine — keep the
             # measured bucketing win (decode._supports_buckets)
@@ -336,7 +337,7 @@ class FloatPipeline:
             self._syn_cast, s_r, feats, r_d,
             size=self.cfg.input_size, decode_batch=self.cfg.decode_batch,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-            chunk_fn=self._chunk_fn,
+            chunk_fn=self._chunk_fn, use_warp_kernel=self.cfg.use_pallas,
             frame_callback=_stage_cb(progress, "decode"))
 
     def decode_to_host(self, s_r, feats, r_d, uint8_transfer: bool = True,
@@ -354,6 +355,7 @@ class FloatPipeline:
             size=self.cfg.input_size, decode_batch=self.cfg.decode_batch,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),
             uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn,
+            use_warp_kernel=self.cfg.use_pallas,
             frame_callback=_stage_cb(progress, "decode"))
 
     # ------------------------------------------------------------------
@@ -472,7 +474,7 @@ class FloatPipeline:
             size=cfg.input_size, decode_batch=cfg.decode_batch,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn,
-            frame_callback=cb)
+            use_warp_kernel=cfg.use_pallas, frame_callback=cb)
 
     def generate_batch(self, imgs: jnp.ndarray, waves: jnp.ndarray, *,
                        emotion: str = "none", seeds=None,
@@ -540,7 +542,7 @@ class FloatPipeline:
             self._syn_cast, clips,
             size=cfg.input_size, decode_batch=cfg.decode_batch,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
-            chunk_fn=self._chunk_fn,
+            chunk_fn=self._chunk_fn, use_warp_kernel=cfg.use_pallas,
             frame_callback=_stage_cb(progress, "decode"))
 
 

@@ -472,3 +472,51 @@ def test_aot_key_includes_code_fingerprint(monkeypatch):
     monkeypatch.setattr(A, "_code_fingerprint", lambda: "deadbeef")
     k2 = A._key_of("stage", (np.zeros((2, 3), np.float32),), {})
     assert k1 != k2
+
+
+def test_decode_gather_mode_runs_off_chip(monkeypatch):
+    """use_pallas=False (-> decode use_warp_kernel=False) must decode at
+    kernel-eligible sizes on a plain CPU backend — no interpret-mode
+    wrapper — because pallas_call cannot lower on XLA:CPU.  This is the
+    readiness gate's off-chip flow-probe mode (tools/readiness_check.py):
+    the exact-gather warp replaces the kernels, the D ratchet still
+    learns from the probe stats, and the output matches the NCHW
+    reference-path synthesis exactly (both are exact gathers; f32)."""
+    import jax
+    from float_tpu.models import init as minit
+    from float_tpu.models import synthesis as S
+    from float_tpu.runtime import decode as RD
+
+    small = {4: 32, 8: 32, 16: 32, 32: 32, 64: 32, 128: 32}
+    monkeypatch.setattr(minit, "CHANNELS_MAP", small)
+    dec = minit.init_synthesis(128, 32, 20, seed=11)
+    rng = np.random.default_rng(3)
+    feats = [jnp.asarray(rng.standard_normal((1, small[r], r, r))
+                         .astype(np.float32) * 0.5)
+             for r in (8, 16, 32, 64, 128)]
+    s_r = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32) * 0.3)
+    r_d = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32) * 0.3)
+
+    RD._DISP_RATCHET.pop(128, None)
+    RD._PATH_RATCHET.pop(128, None)
+    try:
+        # NO force_tpu_interpret_mode here: this would crash in pallas
+        # lowering if the kernel path were still dispatched
+        frames = RD.decode_latents(dec, s_r, feats, r_d, size=128,
+                                   decode_batch=4,
+                                   compute_dtype=jnp.float32,
+                                   use_warp_kernel=False)
+        frames = jax.block_until_ready(frames)
+        assert frames.shape == (6, 128, 128, 3)
+        # the probe learned the clip regime's D despite no kernels
+        assert RD._ratchet_get(128)[0] >= 2
+
+        wa = s_r.astype(jnp.float32) + r_d.astype(jnp.float32)
+        ref, _ = S.synthesis(dec, wa, feats, 128)
+        ref = (jnp.clip(ref, -1.0, 1.0) + 1.0) * 0.5
+        ref = jnp.transpose(ref, (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(frames), np.asarray(ref),
+                                   atol=2e-5)
+    finally:
+        RD._DISP_RATCHET.pop(128, None)
+        RD._PATH_RATCHET.pop(128, None)

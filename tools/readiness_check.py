@@ -80,7 +80,18 @@ def gate_flow_probe(params, args):
     from float_tpu.runtime.pipeline import FloatPipeline, audio_num_frames
     from float_tpu.runtime import decode as D
 
-    cfg = FloatConfig(compute_dtype=args.dtype, decode_batch=args.decode_batch)
+    # pallas_call cannot lower on XLA:CPU — the off-chip probe runs the
+    # exact-gather decode instead.  The D ratchet learns identically
+    # (flow_needed_disp is kernel-independent); only the kernel fast-path
+    # spread stats are skipped, so the profile carries D floors and the
+    # path ratchet re-learns per process on the chip.
+    import jax
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if not on_tpu:
+        print("[probe] non-TPU backend: exact-gather decode "
+              "(use_pallas=False); profile will carry D floors only")
+    cfg = FloatConfig(compute_dtype=args.dtype, decode_batch=args.decode_batch,
+                      use_pallas=on_tpu)
     pipe = FloatPipeline(params, cfg)
 
     rng = np.random.default_rng(0)
