@@ -12,6 +12,7 @@ Phases:
   3. decode-batch sweep FLOAT_DECODE_BATCH in {16, 20, 24, 28}
   4. batch serving      generate_batch B=4 vs 4x serial generate
   5. stream latency     first-frames wall time for a 10 s clip
+  6. packed mid-level   isolated A/B (experiments/packed_midlevel_bench)
 
 Usage: python tools/r3_onchip_revalidate.py [--skip-sweep] [--only N]
 Writes a compact report to stdout; paste results into PERF.md.
@@ -128,6 +129,10 @@ def main():
         [sys.executable, "-c", BATCH_SNIPPET], timeout=5400))
     phase(5, "stream first-frame latency", lambda: run(
         [sys.executable, "-c", STREAM_SNIPPET], timeout=5400))
+    # measure-first idea (PERF.md round-3+): isolated packed 256² mid
+    # level — informational, never gates (production is untouched)
+    phase(6, "packed mid-level isolated A/B", lambda: run(
+        [sys.executable, "experiments/packed_midlevel_bench.py"]))
 
     print("\n== summary")
     for n, name, rc, dt, last in results:
