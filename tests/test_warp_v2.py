@@ -150,7 +150,7 @@ def test_optimistic_redecode_splice():
     def fake_fn(params, wa_c, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
                 warp_disp=2, with_stats=False, fixup=True,
-                warp_path="auto"):
+                warp_path="auto", use_warp_kernel=True):
         ci = int(np.asarray(wa_c)[0, 0])
         calls.append((ci, fixup))
         img = jnp.full((wa_c.shape[0], 4, 4, 3),
@@ -185,7 +185,7 @@ def test_optimistic_redecode_to_host():
     def fake_fn(params, wa_c, feats, size, out_u8=False,
                 channels_last=True, blur_kernel=(1, 3, 3, 1),
                 warp_disp=2, with_stats=False, fixup=True,
-                warp_path="auto"):
+                warp_path="auto", use_warp_kernel=True):
         ci = int(np.asarray(wa_c)[0, 0])
         val = ci * 10 + (0 if fixup else 1)
         img = jnp.full((wa_c.shape[0], 4, 4, 3), val, jnp.float32)
