@@ -21,7 +21,32 @@ import time
 import numpy as np
 
 
+def _device_probe(timeout_s: int = 240):
+    """Enumerate devices in a SUBPROCESS with a timeout: when the axon
+    tunnel is down, in-process `jax.devices()` hangs indefinitely (PERF.md
+    outage notes) — the bench must fail fast with an honest JSON line
+    instead of hanging the driver.  Returns the platform name or None."""
+    import subprocess
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        p = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return None
+    return p.stdout.strip().splitlines()[-1] if p.returncode == 0 else None
+
+
 def main():
+    if os.environ.get("FLOAT_BENCH_SKIP_PROBE") != "1":
+        platform = _device_probe()
+        if platform is None:
+            print(json.dumps({
+                "metric": "frames_per_second_512px",
+                "value": None, "unit": "frames/s/chip", "vs_baseline": None,
+                "error": "device enumeration failed/hung (axon tunnel "
+                         "down?) — no measurement taken"}))
+            sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
