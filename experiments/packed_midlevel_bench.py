@@ -112,9 +112,8 @@ def mask_splat_gmajor(mask, groups, cg):
 # the two chains (shared up-conv prologue; timed regions differ after it)
 # ---------------------------------------------------------------------------
 
-def make_params(rng, style_dim=512, c_in=128, c_mid=64, dtype=None):
+def make_params(rng, style_dim=512, c_in=128, c_mid=64):
     import jax.numpy as jnp
-    dt = dtype or jnp.float32
 
     def t(*shape, s=0.05):
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * s,
@@ -127,7 +126,7 @@ def make_params(rng, style_dim=512, c_in=128, c_mid=64, dtype=None):
         mb_pl=jnp.ones((c_mid,), jnp.float32), b_pl=t(c_mid, s=0.02),
         w_fl=t(1, 3, c_mid, 1, 1), mw_fl=t(c_mid, style_dim),
         mb_fl=jnp.ones((c_mid,), jnp.float32), b_fl=t(3, s=0.02),
-        w_rgb=t(3, c_mid, 1, 1), dtype=dt,
+        w_rgb=t(3, c_mid, 1, 1),
     )
 
 

@@ -232,7 +232,8 @@ def float_process(ref_image: np.ndarray, ref_audio: AudioLike,
         pipe._syn_cast, clips,
         size=cfg.input_size, decode_batch=cfg.decode_batch,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
-        chunk_fn=pipe._chunk_fn, frame_callback=cb)
+        chunk_fn=pipe._chunk_fn, use_warp_kernel=cfg.use_pallas,
+        frame_callback=cb)
 
     # batch > 1 returns the concatenated *used* audio so downstream video
     # muxing lines up with the frame concat (reference: nodes.py:213-222)
@@ -425,7 +426,8 @@ def float_decode_latents_to_images(float_pipe: FloatPipe,
         float_pipe.pipeline._syn_cast, clips,
         size=cfg.input_size, decode_batch=cfg.decode_batch,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
-        chunk_fn=float_pipe.pipeline._chunk_fn, frame_callback=cb)
+        chunk_fn=float_pipe.pipeline._chunk_fn,
+        use_warp_kernel=cfg.use_pallas, frame_callback=cb)
     return np.concatenate(outs, axis=0), fps
 
 
@@ -682,9 +684,11 @@ def apply_float_synthesis(synthesis_model: SynthesisModel,
                           appearance_pipe: AppearancePipe,
                           r_d: jnp.ndarray, fps: float = 25.0,
                           decode_batch: int = 8,
+                          use_warp_kernel: bool = True,
                           ) -> Tuple[np.ndarray, float]:
     """ApplyFloatSynthesis -> (IMAGE (B*T,H,W,C), fps)
-    (reference: nodes_vadv.py:370-475)."""
+    (reference: nodes_vadv.py:370-475).  ``use_warp_kernel=False`` routes
+    the warps through the exact XLA gather (the off-chip decode mode)."""
     b = appearance_pipe.h_source.shape[0]
     outs = []
     for i in range(b):
@@ -692,6 +696,6 @@ def apply_float_synthesis(synthesis_model: SynthesisModel,
         outs.append(decode_latents_to_host(
             synthesis_model.params, appearance_pipe.h_source[i:i + 1],
             feats_i, r_d[i], size=synthesis_model.size,
-            decode_batch=decode_batch,
+            decode_batch=decode_batch, use_warp_kernel=use_warp_kernel,
             blur_kernel=tuple(synthesis_model.blur_kernel)))
     return np.concatenate(outs, axis=0), fps

@@ -300,9 +300,16 @@ def _path_fold(size: int, spread_max) -> tuple:
 
     First observation selects the smallest covering path; afterwards only
     demotions happen (no flapping between programs).  spread < 0 means
-    'no statistic' (auto-only non-v2 level) and keeps auto."""
+    'no statistic' (auto-only non-v2 level, or a gather-mode decode with
+    use_warp_kernel=False) and keeps auto.  An ALL-negative vector
+    carries zero information and must not create an entry: a first
+    observation of ('auto', ...) would be demotion-locked and — once
+    persisted by save_warp_profile and re-seeded — would permanently
+    disable fast-path selection on the chip."""
     cur = _PATH_RATCHET.get(size)
     n = len(spread_max)
+    if cur is None and all(int(sp) < 0 for sp in spread_max):
+        return ("auto",) * n
     if cur is None:
         new = tuple("auto" if sp < 0 else _path_for_spread(int(sp))
                     for sp in spread_max)
@@ -329,6 +336,11 @@ def seed_paths(size: int, paths) -> tuple:
     paths = tuple(str(p) for p in paths)
     if len(paths) != n or any(p not in _PATH_CAPACITY for p in paths):
         raise ValueError(f"bad path profile {paths} for size {size}")
+    if all(p == "auto" for p in paths):
+        # zero-information profile (e.g. written by a gather-mode/off-chip
+        # probe): seeding it would pin 'auto' via the demotion-only rule
+        # and permanently block fast-path selection — skip
+        return _PATH_RATCHET.get(size, paths)
     cur = _PATH_RATCHET.get(size)
     if cur is not None:
         paths = tuple(p if _PATH_CAPACITY[p] >= _PATH_CAPACITY[c] else c

@@ -476,12 +476,16 @@ def test_aot_key_includes_code_fingerprint(monkeypatch):
 
 def test_decode_gather_mode_runs_off_chip(monkeypatch):
     """use_pallas=False (-> decode use_warp_kernel=False) must decode at
-    kernel-eligible sizes on a plain CPU backend — no interpret-mode
-    wrapper — because pallas_call cannot lower on XLA:CPU.  This is the
-    readiness gate's off-chip flow-probe mode (tools/readiness_check.py):
-    the exact-gather warp replaces the kernels, the D ratchet still
-    learns from the probe stats, and the output matches the NCHW
-    reference-path synthesis exactly (both are exact gathers; f32)."""
+    kernel-eligible sizes/dtypes on a plain CPU backend — no
+    interpret-mode wrapper — because pallas_call cannot lower on
+    XLA:CPU.  bfloat16 is essential here: with float32 every kernel
+    branch is dtype-ineligible anyway and the crash guard would be
+    vacuous.  This is the readiness gate's off-chip flow-probe mode
+    (tools/readiness_check.py): the exact-gather warp replaces the
+    kernels, the D ratchet still learns from the probe stats, the PATH
+    ratchet is NOT poisoned (all spreads are -1 = no information), and
+    the output matches the NCHW reference-path synthesis at the bf16
+    cross-layout floor."""
     import jax
     from float_tpu.models import init as minit
     from float_tpu.models import synthesis as S
@@ -490,6 +494,12 @@ def test_decode_gather_mode_runs_off_chip(monkeypatch):
     small = {4: 32, 8: 32, 16: 32, 32: 32, 64: 32, 128: 32}
     monkeypatch.setattr(minit, "CHANNELS_MAP", small)
     dec = minit.init_synthesis(128, 32, 20, seed=11)
+    # tame the random-init flows (as the interpret-mode tests do): the
+    # bf16 cross-layout comparison floor only holds for smooth flows —
+    # exactness under big flows is the gather's own contract either way
+    for lvl in dec["to_flows"]:
+        conv = dec["to_flows"][lvl]["conv"]
+        conv["weight"] = conv["weight"] * 0.05
     rng = np.random.default_rng(3)
     feats = [jnp.asarray(rng.standard_normal((1, small[r], r, r))
                          .astype(np.float32) * 0.5)
@@ -501,22 +511,62 @@ def test_decode_gather_mode_runs_off_chip(monkeypatch):
     RD._PATH_RATCHET.pop(128, None)
     try:
         # NO force_tpu_interpret_mode here: this would crash in pallas
-        # lowering if the kernel path were still dispatched
+        # lowering if the kernel path were still dispatched (bf16 at 128²
+        # is kernel-eligible, so only the use_warp_kernel threading
+        # prevents the dispatch)
         frames = RD.decode_latents(dec, s_r, feats, r_d, size=128,
                                    decode_batch=4,
-                                   compute_dtype=jnp.float32,
+                                   compute_dtype=jnp.bfloat16,
                                    use_warp_kernel=False)
         frames = jax.block_until_ready(frames)
         assert frames.shape == (6, 128, 128, 3)
-        # the probe learned the clip regime's D despite no kernels
+        # the probe learned the clip regime's D despite no kernels ...
         assert RD._ratchet_get(128)[0] >= 2
+        # ... but the PATH ratchet got no entry (spread -1 = no info);
+        # a ('auto',)*n first observation would be demotion-locked and,
+        # persisted + reseeded, would disable fast paths on the chip
+        assert 128 not in RD._PATH_RATCHET
+        prof_paths = ("auto",)
+        assert RD.seed_paths(128, prof_paths) == prof_paths
+        assert 128 not in RD._PATH_RATCHET      # all-auto seed is a no-op
 
-        wa = s_r.astype(jnp.float32) + r_d.astype(jnp.float32)
-        ref, _ = S.synthesis(dec, wa, feats, 128)
-        ref = (jnp.clip(ref, -1.0, 1.0) + 1.0) * 0.5
+        dt = jnp.bfloat16
+        dec16 = RD._cast_params(dec, dt)
+        feats16 = [f.astype(dt) for f in feats]
+        wa = (s_r.astype(jnp.float32) + r_d.astype(jnp.float32)).astype(dt)
+        ref, _ = S.synthesis(dec16, wa, feats16, 128)
+        ref = (jnp.clip(ref.astype(jnp.float32), -1.0, 1.0) + 1.0) * 0.5
         ref = jnp.transpose(ref, (0, 2, 3, 1))
-        np.testing.assert_allclose(np.asarray(frames), np.asarray(ref),
-                                   atol=2e-5)
+        err = float(jnp.max(jnp.abs(frames - ref)))
+        # sanity bound only: both sides are bf16 and the NCHW/NHWC conv
+        # accumulation orders differ per level, compounding to ~0.1 on
+        # random-init weights.  The TIGHT cross-layout parity is covered
+        # in f32 by test_motion_ae::test_synthesis_channels_last_parity
+        # (rtol/atol 1e-3 vs the imported reference's weights).
+        assert err < 0.15, err
     finally:
         RD._DISP_RATCHET.pop(128, None)
         RD._PATH_RATCHET.pop(128, None)
+
+
+def test_path_fold_ignores_no_information():
+    """_path_fold must not create a (demotion-locked) entry from an
+    all-negative spread vector, and must still keep per-level -1s from
+    real kernel observations pinned to their current selection."""
+    from float_tpu.runtime import decode as RD
+
+    RD._PATH_RATCHET.pop(64, None)
+    try:
+        got = RD._path_fold(64, np.asarray([-1, -1, -1]))
+        assert got == ("auto", "auto", "auto")
+        assert 64 not in RD._PATH_RATCHET          # no entry created
+        # first REAL observation still selects per level (-1 level stays
+        # auto: a non-v2 level never reports a spread)
+        got = RD._path_fold(64, np.asarray([2, -1, 4]))
+        assert got == ("fast4", "auto", "fast6")
+        assert RD._PATH_RATCHET[64] == got
+        # later no-information folds keep the selection
+        got = RD._path_fold(64, np.asarray([-1, -1, -1]))
+        assert got == ("fast4", "auto", "fast6")
+    finally:
+        RD._PATH_RATCHET.pop(64, None)

@@ -86,7 +86,7 @@ def gate_flow_probe(params, args):
     # spread stats are skipped, so the profile carries D floors and the
     # path ratchet re-learns per process on the chip.
     import jax
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if not on_tpu:
         print("[probe] non-TPU backend: exact-gather decode "
               "(use_pallas=False); profile will carry D floors only")
