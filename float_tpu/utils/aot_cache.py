@@ -17,10 +17,14 @@ This module wraps jitted functions with a disk-backed executable cache:
                                     # key ACROSS processes
 
 Keys include arg shapes/dtypes/pytree structure, static kwargs, the jax
-version and the device kind; any load/deserialize failure falls back to
-the wrapped jitted function (never worse than no cache).  Blobs are
+version, the device kind, and a host-ISA fingerprint; any load,
+deserialize, or first-dispatch failure falls back to the wrapped jitted
+function (never worse than no cache).  Blobs are
 device-topology-specific by construction — do not ship them across
-accelerator generations.
+accelerator generations.  On XLA:CPU, cross-process reuse is known to
+fail at dispatch for some programs on this jax version ("Function
+..._fusion not found"); the first post-load call is materialized inside
+the guard so that case recompiles instead of crashing the pipeline.
 
 The reference's ``first_run`` warm-up accounting (FLOAT.py:33) maps to
 XLA compilation; this cache is the TPU-native way to pay it once per
@@ -59,10 +63,32 @@ def _code_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+@functools.lru_cache(maxsize=1)
+def _host_fingerprint() -> str:
+    """CPU-capability fingerprint of THIS host, part of the cache key.
+    XLA:CPU AOT blobs are compiled for the build host's exact machine
+    features and can SIGILL on a host with fewer (observed: a blob built
+    on a wider-ISA host deserializes fine here but XLA logs a
+    machine-feature mismatch warning at load).  device_kind is just
+    "cpu" for every x86 host, so it cannot distinguish them; TPU blobs
+    are already keyed by device_kind and lose nothing."""
+    import platform
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
 def _key_of(name: str, args, kwargs) -> str:
     leaves, treedef = jax.tree.flatten((args, kwargs))
     sig = [name, jax.__version__, jax.devices()[0].device_kind,
-           _code_fingerprint(), str(treedef)]
+           _host_fingerprint(), _code_fingerprint(), str(treedef)]
     for leaf in leaves:
         if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
             sig.append(f"{tuple(leaf.shape)}:{leaf.dtype}")
@@ -112,12 +138,22 @@ class AotCache:
                         payload = pickle.load(fh)
                     compiled = se.deserialize_and_load(*payload)
                     run = runner(compiled)
+                    # Deserialization succeeding does NOT mean the blob can
+                    # execute: XLA:CPU blobs from another process can fail
+                    # only at dispatch ("Function ..._fusion not found"),
+                    # and dispatch is async — so materialize the first call
+                    # HERE, inside the guard, before trusting the blob.
+                    out = jax.block_until_ready(run(*args, **kwargs))
                     self._loaded[key] = run
                     logger.info("aot cache hit: %s (%s)", name, key)
-                    return run(*args, **kwargs)
+                    return out
                 except Exception as exc:      # stale/incompatible blob
                     logger.warning("aot cache load failed for %s (%s); "
                                    "recompiling", name, exc)
+                    try:                      # drop it: it will never work
+                        os.remove(path)
+                    except OSError:
+                        pass
             try:
                 compiled = jitted_fn.lower(*args, **kwargs).compile()
             except Exception as exc:

@@ -474,6 +474,50 @@ def test_aot_key_includes_code_fingerprint(monkeypatch):
     assert k1 != k2
 
 
+def test_aot_key_includes_host_fingerprint(monkeypatch):
+    """XLA:CPU AOT blobs are host-ISA-specific (device_kind is just
+    "cpu" everywhere): a blob from a wider-ISA build host must miss on
+    this host instead of risking SIGILL at run time."""
+    from float_tpu.utils import aot_cache as A
+
+    fp = A._host_fingerprint()
+    assert fp and fp == A._host_fingerprint()       # stable in-process
+    k1 = A._key_of("stage", (np.zeros((2, 3), np.float32),), {})
+    monkeypatch.setattr(A, "_host_fingerprint", lambda: "otherhost")
+    k2 = A._key_of("stage", (np.zeros((2, 3), np.float32),), {})
+    assert k1 != k2
+
+
+def test_aot_broken_blob_recovers(tmp_path, monkeypatch):
+    """A blob that deserializes fine but fails when RUN (the observed
+    cross-process XLA:CPU mode: "Function ..._fusion not found" at async
+    dispatch) must fall back to a fresh compile, not crash the caller."""
+    import jax
+    from jax.experimental import serialize_executable as se
+    from float_tpu.utils.aot_cache import AotCache
+
+    fn = jax.jit(lambda x: x * 2.0 + 1.0)
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+
+    cache1 = AotCache(str(tmp_path))
+    ref = np.asarray(cache1.wrap("toy", fn)(x))
+    blobs = [f for f in os.listdir(tmp_path) if f.endswith(".aotx")]
+    assert len(blobs) == 1
+
+    def broken_deserialize(*payload):
+        def boom(*a, **kw):
+            raise RuntimeError("Function broadcast_multiply_fusion.4 "
+                               "not found (type id: 1)")
+        return boom
+    monkeypatch.setattr(se, "deserialize_and_load", broken_deserialize)
+
+    cache2 = AotCache(str(tmp_path))     # fresh instance = fresh process
+    got = np.asarray(cache2.wrap("toy", fn)(x))
+    np.testing.assert_array_equal(got, ref)
+    # the bad blob was replaced by a freshly-serialized one
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".aotx")]
+
+
 def test_decode_gather_mode_runs_off_chip(monkeypatch):
     """use_pallas=False (-> decode use_warp_kernel=False) must decode at
     kernel-eligible sizes/dtypes on a plain CPU backend — no
