@@ -36,15 +36,34 @@ def _device_probe(timeout_s: int = 240):
     return p.stdout.strip().splitlines()[-1] if p.returncode == 0 else None
 
 
+def _probe_with_retries(probe=_device_probe, retry_sleep_s: float = 45.0):
+    """Retry the device probe a few times: tunnel glitches are often
+    transient, and this is the round's one recorded measurement — worth
+    waiting a bounded ~10 min for before giving up.  Returns the platform
+    name or None."""
+    retries = int(os.environ.get("FLOAT_BENCH_PROBE_RETRIES", "3"))
+    for attempt in range(retries):
+        platform = probe(timeout_s=180)
+        if platform is not None:
+            return platform
+        if attempt + 1 < retries:
+            print(f"# device probe attempt {attempt + 1}/{retries} "
+                  "failed; retrying", file=sys.stderr)
+            time.sleep(retry_sleep_s)
+    return None
+
+
 def main():
     if os.environ.get("FLOAT_BENCH_SKIP_PROBE") != "1":
-        platform = _device_probe()
+        platform = _probe_with_retries()
         if platform is None:
+            retries = os.environ.get("FLOAT_BENCH_PROBE_RETRIES", "3")
             print(json.dumps({
                 "metric": "frames_per_second_512px",
                 "value": None, "unit": "frames/s/chip", "vs_baseline": None,
                 "error": "device enumeration failed/hung (axon tunnel "
-                         "down?) — no measurement taken"}))
+                         f"down?) after {retries} attempts — no "
+                         "measurement taken"}))
             sys.exit(1)
 
     import jax
