@@ -214,6 +214,49 @@ def cmd_workflow(args):
                  progress=make_cli_progress())
 
 
+def _parse_set_overrides(pairs):
+    """--set NODE.PARAM=VALUE -> {selector: {param: value}}; VALUE is
+    parsed as JSON when possible (numbers/bools), else kept as string."""
+    out = {}
+    for spec in pairs or []:
+        try:
+            target, value = spec.split("=", 1)
+            selector, param = target.rsplit(".", 1)
+        except ValueError:
+            raise SystemExit(f"--set expects NODE.PARAM=VALUE, got {spec!r}")
+        try:
+            value = json.loads(value)
+        except json.JSONDecodeError:
+            pass
+        out.setdefault(selector, {})[param] = value
+    return out
+
+
+def cmd_graph(args):
+    """Execute a ComfyUI workflow graph JSON (the reference's own
+    example_workflows files run unchanged)."""
+    from .api.comfy import run_comfy_workflow, GraphContext
+    overrides = _parse_set_overrides(args.set)
+    if args.image:
+        overrides.setdefault("LoadImage", {})["image"] = args.image
+        overrides.setdefault("SET_ImageDownload", {})["filename"] = args.image
+    if args.audio:
+        overrides.setdefault("LoadAudio", {})["audio"] = args.audio
+        overrides.setdefault("SET_AudioDownload", {})["filename"] = args.audio
+    ctx = GraphContext(models_root=args.models_root,
+                       inputs_dir=args.inputs_dir,
+                       output_dir=args.output_dir,
+                       overrides=overrides,
+                       allow_synthetic=args.allow_synthetic,
+                       progress=make_cli_progress(not args.no_progress))
+    _results, ctx = run_comfy_workflow(args.workflow, ctx)
+    for path in ctx.artifacts:
+        print(f"wrote {path}")
+    if not ctx.artifacts:
+        print("graph executed (no output nodes — add VHS_VideoCombine or "
+              "PreviewImage to write files)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="float_tpu", description=__doc__)
     ap.add_argument("-v", "--verbose", action="count", default=0)
@@ -256,6 +299,22 @@ def main(argv=None):
     w.add_argument("config")
     w.add_argument("--output", default="out")
     w.set_defaults(func=cmd_workflow)
+
+    gr = sub.add_parser("graph",
+                        help="execute a ComfyUI workflow graph JSON")
+    gr.add_argument("workflow", help="ComfyUI-format workflow .json")
+    gr.add_argument("--models-root", default="models")
+    gr.add_argument("--inputs-dir", default=".",
+                    help="directory LoadImage/LoadAudio filenames resolve in")
+    gr.add_argument("--output-dir", default=".")
+    gr.add_argument("--image", help="override every LoadImage file")
+    gr.add_argument("--audio", help="override every LoadAudio file")
+    gr.add_argument("--set", action="append", metavar="NODE.PARAM=VALUE",
+                    help="override a node input (NODE = type, title, or "
+                         "flattened key; repeatable)")
+    gr.add_argument("--allow-synthetic", action="store_true")
+    gr.add_argument("--no-progress", action="store_true")
+    gr.set_defaults(func=cmd_graph)
 
     args = ap.parse_args(argv)
     _setup_logging(args.verbose)
