@@ -22,6 +22,14 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
     cache_dir = cache_dir or os.environ.get(
         "FLOAT_TPU_CACHE", os.path.expanduser("~/.cache/float_tpu/xla"))
+    # Namespace by host ISA: XLA's own cache key does NOT fully cover CPU
+    # machine features, so a CPU AOT blob compiled on a wider-ISA host
+    # LOADS here with only a "could lead to SIGILL" warning (observed on
+    # this image — the cache dir persists across differently-featured
+    # hosts).  Same fix as aot_cache._host_fingerprint, which exists for
+    # exactly this reason.
+    from .aot_cache import _host_fingerprint
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
