@@ -145,6 +145,16 @@ def _expand_level(raw_nodes, raw_links, defs, prefix,
         node = nodes.get(nid)
         if node is None:
             raise GraphError(f"link references unknown node id {nid!r}")
+        if node["type"] == "Reroute":
+            # classic ComfyUI reroute NODES are pure passthrough (the
+            # reference workflows use the newer link-level `reroutes`
+            # metadata instead, which needs no handling)
+            inp = next((i for i in node.get("inputs", [])
+                        if i.get("link") is not None), None)
+            if inp is None:
+                return None
+            o, oslot, _t, _ts = links[inp["link"]]
+            return resolve(o, oslot)
         if node["type"] in defs:
             if nid not in inst_outs:
                 inst_outs[nid] = _expand_instance(node)
@@ -158,18 +168,21 @@ def _expand_level(raw_nodes, raw_links, defs, prefix,
         out = []
         for inp in node.get("inputs", []):
             name, typ = inp["name"], inp.get("type", "*")
-            if inp.get("widget"):
+            lid = inp.get("link")
+            if lid is not None:
+                # a connection wins even on a widget input (a widget
+                # "converted to input" keeps its widget key + a link, and
+                # widgets_values retains a stale slot for it)
+                if lid not in links:
+                    raise GraphError(
+                        f"node {node['id']} input {name!r}: link {lid} "
+                        "not in links table")
+                o, oslot, _t, _ts = links[lid]
+                src = resolve(o, oslot)
+            elif inp.get("widget"):
                 src = ("value", widgets[name]) if name in widgets else None
             else:
-                lid = inp.get("link")
                 src = None
-                if lid is not None:
-                    if lid not in links:
-                        raise GraphError(
-                            f"node {node['id']} input {name!r}: link {lid} "
-                            "not in links table")
-                    o, oslot, _t, _ts = links[lid]
-                    src = resolve(o, oslot)
             out.append((name, src, typ))
         return out
 
@@ -196,12 +209,16 @@ def _expand_level(raw_nodes, raw_links, defs, prefix,
             continue
         ins = input_sources(node)
         widgets = bind_widget_values(node)
+        conn, conn_types = {}, {}
+        for n, s, ty in ins:
+            if n in widgets and s == ("value", widgets[n]):
+                continue      # plain widget input — value carried in widgets
+            conn[n] = s       # link (wins over a stale widget value at
+            conn_types[n] = ty  # execution), boundary value, or unconnected
         acc[prefix + str(nid)] = ExecNode(
             key=prefix + str(nid), type=t,
             title=node.get("title", t), mode=node.get("mode", 0),
-            widgets=widgets,
-            conn={n: s for n, s, _t in ins if n not in widgets},
-            conn_types={n: ty for n, _s, ty in ins if n not in widgets},
+            widgets=widgets, conn=conn, conn_types=conn_types,
             out_names=[o["name"] for o in node.get("outputs", [])],
             out_types=[o.get("type", "*") for o in node.get("outputs", [])])
     return resolve

@@ -72,6 +72,45 @@ def test_cycle_detection():
         _toposort(flatten_graph(wf))
 
 
+def test_reroute_passthrough():
+    """Classic Reroute nodes forward their input source transparently."""
+    wf = {"nodes": [
+        {"id": 1, "type": "PrimitiveFloat", "mode": 0,
+         "inputs": [{"name": "value", "widget": {"name": "value"}}],
+         "outputs": [{"name": "FLOAT"}], "widgets_values": [3.5]},
+        {"id": 2, "type": "Reroute", "mode": 0,
+         "inputs": [{"name": "", "link": 1}], "outputs": [{"name": ""}]},
+        {"id": 3, "type": "PrimitiveFloat", "mode": 0,
+         "inputs": [{"name": "value", "widget": {"name": "value"},
+                     "link": 2}],
+         "outputs": [{"name": "FLOAT"}], "widgets_values": []}],
+        "links": [[1, 1, 0, 2, 0, "FLOAT"], [2, 2, 0, 3, 0, "FLOAT"]]}
+    nodes = flatten_graph(wf)
+    assert "2" not in nodes                      # reroute has no ExecNode
+    src = nodes["3"].conn.get("value")
+    assert src == ("node", "1", 0)
+
+
+def test_converted_widget_input_prefers_link():
+    """A widget 'converted to input' (widget key + link) takes the linked
+    value; the stale widgets_values slot is ignored."""
+    wf = {"nodes": [
+        {"id": 1, "type": "PrimitiveFloat", "mode": 0,
+         "inputs": [{"name": "value", "widget": {"name": "value"}}],
+         "outputs": [{"name": "FLOAT"}], "widgets_values": [30.0]},
+        {"id": 2, "type": "FloatProcessOpt", "mode": 0,
+         "inputs": [{"name": "fps", "widget": {"name": "fps"}, "link": 1},
+                    {"name": "seed", "widget": {"name": "seed"}}],
+         "outputs": [{"name": "images"}],
+         "widgets_values": [25.0, 15, "fixed"]}],
+        "links": [[1, 1, 0, 2, 0, "FLOAT"]]}
+    nodes = flatten_graph(wf)
+    n2 = nodes["2"]
+    assert n2.conn["fps"] == ("node", "1", 0)   # link wins
+    assert n2.widgets["fps"] == 25.0            # stale value still parsed
+    assert n2.widgets["seed"] == 15
+
+
 def test_mute_propagates_none():
     """A muted producer yields None outputs; consumers see None inputs."""
     seen = {}
