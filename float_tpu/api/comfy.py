@@ -63,8 +63,11 @@ class GraphContext:
         return os.path.join(self.inputs_dir, name)
 
     def out_path(self, name: str) -> str:
-        os.makedirs(self.output_dir, exist_ok=True)
-        return os.path.join(self.output_dir, name)
+        """Full output path; filename_prefix may imply subfolders
+        (ComfyUI convention, e.g. 'float/out')."""
+        path = os.path.join(self.output_dir, name)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        return path
 
 
 def _g(inputs: dict, name: str, default=None):
@@ -94,22 +97,23 @@ def _read_audio_file(path: str) -> dict:
         if arr.ndim == 1:
             arr = arr[None]
         return {"waveform": arr[None], "sample_rate": 16000}
-    import wave as wavmod
-    with wavmod.open(path, "rb") as w:
-        sr = w.getframerate()
-        raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
-        ch = w.getnchannels()
-        arr = raw.reshape(-1, ch).T.astype(np.float32) / 32768.0
+    from ..audio.resample import read_wav_file
+    arr, sr = read_wav_file(path)
     return {"waveform": arr[None], "sample_rate": sr}
 
 
 def _load_image_as_comfy(path: str):
-    """-> (IMAGE (1,H,W,3|4) float [0,1], MASK (1,H,W): 1-alpha or zeros)."""
+    """-> (IMAGE (1,H,W,3) float [0,1], MASK (1,H,W): 1-alpha or zeros).
+
+    ComfyUI's LoadImage always emits 3-channel RGB, moving alpha into the
+    MASK output — downstream nodes (encoders, video writers) rely on it.
+    """
     from ..cli import load_image_file
     img = load_image_file(path)
     mask = np.zeros(img.shape[:2], np.float32)
     if img.shape[-1] == 4:
         mask = 1.0 - img[..., 3]
+        img = img[..., :3]
     return img[None], mask[None]
 
 
@@ -279,7 +283,9 @@ def _face_align(ctx, inputs):
         image=inputs["image"],
         input_size=int(_g(inputs, "size", 512)),
         face_margin=float(_g(inputs, "face_margin", 1.6)),
-        face_index=int(_g(inputs, "face_index", 1)),
+        # the node's widget is named 'index' (reference nodes_adv.py:81);
+        # 'face_index' accepted as an override alias
+        face_index=int(_g(inputs, "index", _g(inputs, "face_index", 1))),
         rgba_conversion=_g(inputs, "rgba_conversion", "blend_with_color"),
         bkg_color_hex=_g(inputs, "bkg_color_hex", "#000000"),
         detector=_g(inputs, "detector"),
@@ -447,16 +453,18 @@ def _load_fmt_model(ctx, inputs):
     from . import nodes as N
     fps = float(_g(inputs, "fps", 25.0))
     wav2vec_sec = float(_g(inputs, "wav2vec_sec", 2.0))
+    num_prev = int(_g(inputs, "num_prev_frames", 10))
     fmt = N.load_fmt_model(
         _resolve_part_file(ctx, _g(inputs, "fmt_file", "fmt.safetensors"),
                            "float/fmt", "fmt"),
         dim_e=int(_g(inputs, "dim_e", 7)),
         num_heads=int(_g(inputs, "num_heads", 8)),
         attention_window=int(_g(inputs, "attention_window", 2)),
-        num_prev_frames=int(_g(inputs, "num_prev_frames", 10)),
-        fps=fps, wav2vec_sec=wav2vec_sec)
+        num_prev_frames=num_prev, fps=fps, wav2vec_sec=wav2vec_sec)
+    # conditioning_chunk_size = prev + current frames (reference:
+    # nodes_vadv_loader.py:864 — int(num_prev_frames + wav2vec_sec * fps))
     return [fmt, fps, dict(fmt.construction_options),
-            int(wav2vec_sec * fps)]
+            int(num_prev + wav2vec_sec * fps)]
 
 
 # ---------------------------------------------------------------------------
@@ -495,12 +503,18 @@ def _extract_emotion(ctx, inputs):
 @adapter("FloatExtractEmotionWithCustomModelDyn")
 def _extract_emotion_dyn(ctx, inputs):
     from . import nodes as N
-    from .nodes import _audio_to_waves
     pipe = inputs["emotion_model_pipe"]
     fps = float(_g(inputs, "target_fps", 25.0))
     sr = pipe.fe.sampling_rate
-    waves = _audio_to_waves(inputs["audio"], sr)
-    total = max(1, math.ceil(len(waves[0]) * fps / sr))
+    # frame count straight from the AUDIO payload (no resample pass just
+    # to measure duration; extract_emotion_dynamic converts internally)
+    audio = inputs["audio"]
+    if isinstance(audio, dict):
+        n, sr_in = np.asarray(audio["waveform"]).shape[-1], \
+            audio["sample_rate"]
+    else:
+        n, sr_in = np.asarray(audio).shape[-1], sr
+    total = max(1, math.ceil(n / sr_in * fps))
     we, seq = N.extract_emotion_dynamic(
         pipe, inputs["audio"], total_video_frames=total,
         chunk_duration_sec=float(_g(inputs, "chunk_duration_sec", 2.0)),

@@ -39,6 +39,39 @@ def resample(wave: np.ndarray, sr_in: int, sr_out: int = 16000) -> np.ndarray:
     return np.ascontiguousarray(out, dtype=np.float32)
 
 
+def read_wav_file(path: str):
+    """PCM wav file -> ((C, N) float32 in [-1, 1], sample_rate).
+
+    Handles 8-bit unsigned, 16-bit, 24-bit and 32-bit integer PCM (the
+    stdlib ``wave`` module's supported encodings) — shared by the CLI,
+    the workflow runner and the graph LoadAudio adapter so sample-width
+    handling lives in exactly one place.
+    """
+    import wave as wavmod
+    with wavmod.open(path, "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:                       # unsigned 8-bit
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    elif width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 3:                     # packed 24-bit little-endian
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        i32 = (b[:, 0].astype(np.int32)
+               | (b[:, 1].astype(np.int32) << 8)
+               | (b[:, 2].astype(np.int32) << 16))
+        i32 = np.where(i32 & 0x800000, i32 - 0x1000000, i32)
+        arr = i32.astype(np.float32) / 8388608.0
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported wav sample width {width} in {path}")
+    return np.ascontiguousarray(arr.reshape(-1, ch).T), sr
+
+
 def comfy_audio_to_mono_16k(audio: Mapping, target_sr: int = 16000) -> np.ndarray:
     """ComfyUI AUDIO dict -> mono float32 at target_sr.
 

@@ -86,17 +86,11 @@ def make_cli_progress(enabled: bool = True):
 
 def _load_audio_file(path: str):
     import numpy as np
-    from .audio.resample import resample, to_mono
-    import wave as wavmod
+    from .audio.resample import read_wav_file, resample, to_mono
     if path.endswith(".npy"):
         audio_arr, sr = np.load(path), 16000
     else:
-        with wavmod.open(path, "rb") as w:
-            sr = w.getframerate()
-            n = w.getnframes()
-            raw = np.frombuffer(w.readframes(n), dtype=np.int16)
-            ch = w.getnchannels()
-            audio_arr = raw.reshape(-1, ch).T.astype(np.float32) / 32768.0
+        audio_arr, sr = read_wav_file(path)
     return resample(to_mono(audio_arr), sr, 16000)
 
 

@@ -138,28 +138,37 @@ def _expand_level(raw_nodes, raw_links, defs, prefix,
     inst_outs: Dict[Any, Dict[int, Optional[Source]]] = {}
 
     def resolve(nid, slot) -> Optional[Source]:
-        if nid == -10:
-            if ext_sources is None:
-                raise GraphError("input boundary (-10) at top level")
-            return ext_sources.get(slot)
-        node = nodes.get(nid)
-        if node is None:
-            raise GraphError(f"link references unknown node id {nid!r}")
-        if node["type"] == "Reroute":
-            # classic ComfyUI reroute NODES are pure passthrough (the
-            # reference workflows use the newer link-level `reroutes`
-            # metadata instead, which needs no handling)
-            inp = next((i for i in node.get("inputs", [])
-                        if i.get("link") is not None), None)
-            if inp is None:
-                return None
-            o, oslot, _t, _ts = links[inp["link"]]
-            return resolve(o, oslot)
-        if node["type"] in defs:
-            if nid not in inst_outs:
-                inst_outs[nid] = _expand_instance(node)
-            return inst_outs[nid].get(slot)
-        return ("node", prefix + str(nid), slot)
+        hops = 0
+        while True:
+            if nid == -10:
+                if ext_sources is None:
+                    raise GraphError("input boundary (-10) at top level")
+                return ext_sources.get(slot)
+            node = nodes.get(nid)
+            if node is None:
+                raise GraphError(f"link references unknown node id {nid!r}")
+            if node["type"] == "Reroute":
+                # classic ComfyUI reroute NODES are pure passthrough (the
+                # reference workflows use the newer link-level `reroutes`
+                # metadata instead, which needs no handling)
+                hops += 1
+                if hops > len(nodes):
+                    raise GraphError(f"reroute cycle at node {nid}")
+                inp = next((i for i in node.get("inputs", [])
+                            if i.get("link") is not None), None)
+                if inp is None:
+                    return None
+                lid = inp["link"]
+                if lid not in links:
+                    raise GraphError(f"reroute {nid}: link {lid} not in "
+                                     "links table")
+                nid, slot = links[lid][0], links[lid][1]
+                continue
+            if node["type"] in defs:
+                if nid not in inst_outs:
+                    inst_outs[nid] = _expand_instance(node)
+                return inst_outs[nid].get(slot)
+            return ("node", prefix + str(nid), slot)
 
     def input_sources(node) -> List[Tuple[str, Optional[Source], str]]:
         """Ordered (name, source, type) over the node's inputs; widget
@@ -188,7 +197,19 @@ def _expand_level(raw_nodes, raw_links, defs, prefix,
 
     def _expand_instance(inst) -> Dict[int, Optional[Source]]:
         sg = defs[inst["type"]]
+        mode = inst.get("mode", MODE_RUN)
+        if mode == MODE_MUTE:
+            return {}                     # every output reads as None
         ins = input_sources(inst)
+        if mode == MODE_BYPASS:
+            # pass each output through the first same-typed input,
+            # without expanding (or executing) the instance body
+            outs: Dict[int, Optional[Source]] = {}
+            for k, out in enumerate(inst.get("outputs", [])):
+                typ = out.get("type", "*")
+                outs[k] = next((s for _n, s, ty in ins
+                                if ty == typ and s is not None), None)
+            return outs
         ext = {i: s for i, (_n, s, _t) in enumerate(ins)}
         sub_resolve = _expand_level(
             sg.get("nodes", []), sg.get("links", []), defs,

@@ -33,17 +33,12 @@ def _load_image(spec) -> np.ndarray:
 
 
 def _load_audio(spec) -> np.ndarray:
-    from ..audio.resample import resample, to_mono
+    from ..audio.resample import read_wav_file, resample, to_mono
     if isinstance(spec, np.ndarray):
         return spec
     if spec.endswith(".npy"):
         return np.load(spec).astype(np.float32)
-    import wave as wavmod
-    with wavmod.open(spec, "rb") as w:
-        sr = w.getframerate()
-        raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
-        ch = w.getnchannels()
-        arr = raw.reshape(-1, ch).T.astype(np.float32) / 32768.0
+    arr, sr = read_wav_file(spec)
     return resample(to_mono(arr), sr, 16000)
 
 

@@ -132,6 +132,126 @@ def test_mute_propagates_none():
     assert seen["value"] is None and results["2"] == [None]
 
 
+def test_muted_and_bypassed_subgraph_instances():
+    """Muting a subgraph instance yields None outputs without expanding
+    its body; bypass passes same-typed inputs through."""
+    sg = {"id": "aaaa", "name": "wrap", "inputNode": {"id": -10},
+          "outputNode": {"id": -20},
+          "inputs": [{"name": "x", "type": "FLOAT"}],
+          "outputs": [{"name": "y", "type": "FLOAT"}],
+          "nodes": [{"id": 5, "type": "ExplodingNode", "mode": 0,
+                     "inputs": [{"name": "x", "link": 0}],
+                     "outputs": [{"name": "y"}]}],
+          "links": [{"id": 0, "origin_id": -10, "origin_slot": 0,
+                     "target_id": 5, "target_slot": 0, "type": "FLOAT"},
+                    {"id": 1, "origin_id": 5, "origin_slot": 0,
+                     "target_id": -20, "target_slot": 0, "type": "FLOAT"}]}
+
+    def make_wf(mode):
+        return {"definitions": {"subgraphs": [sg]},
+                "nodes": [
+            {"id": 1, "type": "PrimitiveFloat", "mode": 0,
+             "inputs": [{"name": "value", "widget": {"name": "value"}}],
+             "outputs": [{"name": "FLOAT", "type": "FLOAT"}],
+             "widgets_values": [7.0]},
+            {"id": 2, "type": "aaaa", "mode": mode,
+             "inputs": [{"name": "x", "link": 1, "type": "FLOAT"}],
+             "outputs": [{"name": "y", "type": "FLOAT",
+                          "links": [2]}]},
+            {"id": 3, "type": "PrimitiveFloat", "mode": 0,
+             "inputs": [{"name": "value", "widget": {"name": "value"},
+                         "link": 2}],
+             "outputs": [{"name": "FLOAT", "type": "FLOAT"}],
+             "widgets_values": []}],
+            "links": [[1, 1, 0, 2, 0, "FLOAT"], [2, 2, 0, 3, 0, "FLOAT"]]}
+
+    from float_tpu.runtime.graph import MODE_MUTE, MODE_BYPASS
+    # mute: inner ExplodingNode is never instantiated, consumer sees None
+    nodes = flatten_graph(make_wf(MODE_MUTE))
+    assert not any(n.type == "ExplodingNode" for n in nodes.values())
+    results = run_graph(make_wf(MODE_MUTE), ADAPTERS, GraphContext())
+    assert results["3"] == [0.0]        # PrimitiveFloat default on None
+    # bypass: value flows straight through the instance
+    results = run_graph(make_wf(MODE_BYPASS), ADAPTERS, GraphContext())
+    assert results["3"] == [7.0]
+
+
+def test_reroute_cycle_and_dangling_link_raise_grapherror():
+    def reroute(nid, link_in):
+        return {"id": nid, "type": "Reroute", "mode": 0,
+                "inputs": [{"name": "", "link": link_in}],
+                "outputs": [{"name": ""}]}
+    probe = {"id": 3, "type": "PrimitiveFloat", "mode": 0,
+             "inputs": [{"name": "value", "widget": {"name": "value"},
+                         "link": 3}],
+             "outputs": [{"name": "FLOAT"}], "widgets_values": []}
+    cyc = {"nodes": [reroute(1, 2), reroute(2, 1), probe],
+           "links": [[1, 2, 0, 1, 0, "*"], [2, 1, 0, 2, 0, "*"],
+                     [3, 1, 0, 3, 0, "*"]]}
+    with pytest.raises(GraphError, match="cycle"):
+        flatten_graph(cyc)
+    dangling = {"nodes": [reroute(1, 99), probe],
+                "links": [[3, 1, 0, 3, 0, "*"]]}
+    with pytest.raises(GraphError, match="link 99"):
+        flatten_graph(dangling)
+
+
+def test_face_align_adapter_uses_index_widget(monkeypatch):
+    """The node's widget is named 'index' (reference nodes_adv.py:81) —
+    the two-face insert workflows rely on index=2 for the second face."""
+    import float_tpu.api.nodes as N
+    seen = {}
+
+    def fake(image, **kw):
+        seen.update(kw)
+        return np.zeros((1, 4, 4, 3), np.float32), [(0, 0, 4, 4)]
+    monkeypatch.setattr(N, "float_image_face_align", fake)
+    out = ADAPTERS["FloatImageFaceAlign"](
+        GraphContext(), {"image": np.zeros((1, 8, 8, 3)), "index": 2,
+                         "size": 64})
+    assert seen["face_index"] == 2 and seen["input_size"] == 64
+    assert len(out) == 2
+
+
+def test_read_wav_file_sample_widths(tmp_path):
+    """8/16/24/32-bit PCM wavs all decode to the same float signal."""
+    import wave as wavmod
+    from float_tpu.audio.resample import read_wav_file
+    t = np.linspace(0, 1, 800, endpoint=False)
+    ref = (0.5 * np.sin(2 * np.pi * 7 * t)).astype(np.float32)
+    for width in (1, 2, 3, 4):
+        if width == 1:
+            data = ((ref * 128) + 128).astype(np.uint8).tobytes()
+        elif width == 2:
+            data = (ref * 32767).astype("<i2").tobytes()
+        elif width == 3:
+            i32 = (ref * 8388607).astype(np.int32)
+            b = np.zeros((len(i32), 3), np.uint8)
+            b[:, 0] = i32 & 0xFF
+            b[:, 1] = (i32 >> 8) & 0xFF
+            b[:, 2] = (i32 >> 16) & 0xFF
+            data = b.tobytes()
+        else:
+            data = (ref * 2147483647).astype("<i4").tobytes()
+        p = tmp_path / f"w{width}.wav"
+        with wavmod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(16000)
+            w.writeframes(data)
+        arr, sr = read_wav_file(str(p))
+        assert sr == 16000 and arr.shape == (1, 800)
+        tol = {1: 1e-2, 2: 1e-4, 3: 1e-6, 4: 1e-7}[width]
+        np.testing.assert_allclose(arr[0], ref, atol=tol)
+
+
+def test_out_path_creates_prefix_subdirs(tmp_path):
+    ctx = GraphContext(output_dir=str(tmp_path / "o"))
+    p = ctx.out_path("sub/dir/file.npy")
+    np.save(p, np.zeros(3))
+    assert os.path.exists(p)
+
+
 @needs_reference
 @pytest.mark.parametrize("name", sorted(
     f for f in (os.listdir(REF_WF_DIR) if os.path.isdir(REF_WF_DIR) else [])
@@ -322,13 +442,19 @@ def test_run_reference_va_subgraph_workflow(graph_io, tmp_path,
                                     "wav2vec_sec": TINY.wav2vec_sec,
                                     "num_prev_frames": TINY.num_prev_frames},
                })
-    results, ctx = run_comfy_workflow(
-        os.path.join(REF_WF_DIR, "float_very_advanced_subgraphs.json"), ctx)
+    path = os.path.join(REF_WF_DIR, "float_very_advanced_subgraphs.json")
+    results, ctx = run_comfy_workflow(path, ctx)
     frames = [v[0] for v in results.values()
               if v and getattr(v[0], "ndim", 0) == 4
               and getattr(v[0], "shape", ())[-1] == 3]
     assert any(f.shape == (25, 64, 64, 3) for f in frames)
     assert ctx.artifacts
+    # conditioning_chunk_size = prev + current (reference
+    # nodes_vadv_loader.py:864): 3 + 0.4 s * 25 fps = 13 for TINY
+    nodes = flatten_graph(json.load(open(path)))
+    fmt_key = next(k for k, n in nodes.items() if n.type == "LoadFMTModel")
+    assert results[fmt_key][3] == TINY.num_prev_frames + int(
+        TINY.wav2vec_sec * 25)
 
 
 @needs_reference
