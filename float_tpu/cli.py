@@ -251,6 +251,15 @@ def cmd_graph(args):
               "PreviewImage to write files)")
 
 
+def cmd_serve(args):
+    from .serve import serve
+    serve(args.checkpoint, host=args.host, port=args.port,
+          allow_synthetic=args.allow_synthetic,
+          models_root=args.models_root,
+          advanced_float_options=(json.loads(args.adv_options)
+                                  if args.adv_options else None))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="float_tpu", description=__doc__)
     ap.add_argument("-v", "--verbose", action="count", default=0)
@@ -309,6 +318,16 @@ def main(argv=None):
     gr.add_argument("--allow-synthetic", action="store_true")
     gr.add_argument("--no-progress", action="store_true")
     gr.set_defaults(func=cmd_graph)
+
+    s = sub.add_parser("serve", help="HTTP serving daemon (health / "
+                                     "generate / stream / graph endpoints)")
+    s.add_argument("--checkpoint", default="models/float/FLOAT.safetensors")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8472)
+    s.add_argument("--models-root", default="models")
+    s.add_argument("--adv-options", help="JSON ADV_FLOAT_DICT overrides")
+    s.add_argument("--allow-synthetic", action="store_true")
+    s.set_defaults(func=cmd_serve)
 
     args = ap.parse_args(argv)
     _setup_logging(args.verbose)
