@@ -9,6 +9,8 @@ a dependency-free (stdlib http.server) daemon over the same pipeline:
 Endpoints (JSON in, JSON or binary out):
 
 - ``GET  /health`` -> {"status", "device", "weights", "busy"}
+- ``GET  /metrics`` -> cumulative {"requests", "errors", "frames",
+  "busy_seconds", "frames_per_busy_second"}
 - ``POST /v1/generate`` body
   {"image": <b64 npy|png|jpg>, "audio": <b64 npy|wav>, "emotion",
    "a_cfg_scale", "e_cfg_scale", "fps", "seed", "face_align",
@@ -72,6 +74,16 @@ class FloatServer:
         self.pipe = pipe
         self.output_dir = output_dir or tempfile.mkdtemp(prefix="float_srv_")
         self.lock = threading.Lock()     # one generation at a time per chip
+        self._stats_lock = threading.Lock()
+        self.stats = {"requests": 0, "errors": 0, "frames": 0,
+                      "busy_seconds": 0.0}
+
+    def _count(self, frames: int = 0, busy: float = 0.0, error: bool = False):
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["errors"] += 1 if error else 0
+            self.stats["frames"] += frames
+            self.stats["busy_seconds"] += busy
 
     # -- request handlers (transport-independent) --------------------------
 
@@ -82,13 +94,26 @@ class FloatServer:
                 "weights": self.pipe.weights,
                 "busy": self.lock.locked()}
 
+    def metrics(self) -> Dict[str, Any]:
+        """Serving counters: cumulative requests / errors / generated
+        frames / device-busy seconds, and derived frames-per-busy-second
+        (the serving-side view of the bench.py metric)."""
+        with self._stats_lock:
+            out = dict(self.stats)
+        busy = out["busy_seconds"]
+        out["frames_per_busy_second"] = \
+            round(out["frames"] / busy, 2) if busy > 0 else None
+        return out
+
     def handle_generate(self, req: Dict[str, Any]):
         """Non-streaming generate -> (mp4 bytes, n_frames)."""
+        import time
         img = _b64_to_array(req["image"], "image")
         wave = _b64_to_array(req["audio"], "audio").astype(np.float32)
         from .api.nodes import float_process
         from .io.video import write_video
         with self.lock:
+            t0 = time.perf_counter()
             frames, _audio, fps = float_process(
                 img[None] if img.ndim == 3 else img,
                 wave[None] if wave.ndim == 1 else wave, self.pipe,
@@ -98,6 +123,8 @@ class FloatServer:
                 emotion=req.get("emotion", "none"),
                 face_align=bool(req.get("face_align", False)),
                 seed=int(req.get("seed", 15)))
+            self._count(frames=frames.shape[0],
+                        busy=time.perf_counter() - t0)
         path = os.path.join(self.output_dir, "gen.mp4")
         write_video(path, frames, fps, audio=wave.reshape(-1),
                     sample_rate=16000)
@@ -117,6 +144,8 @@ class FloatServer:
             face_margin=cfg.face_margin)
         wave_n = jnp.asarray(normalize_waveform(wave.reshape(-1),
                                                 self.pipe.fe)[None])
+        import time
+        n_frames, t0 = 0, time.perf_counter()
         with self.lock:
             for start, frames in self.pipe.pipeline.generate_stream(
                     jnp.asarray(model_in), wave_n,
@@ -125,6 +154,7 @@ class FloatServer:
                     a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
                     e_cfg_scale=float(req.get("e_cfg_scale", 1.0)),
                     fps=cfg.fps):
+                n_frames += frames.shape[0]
                 u8 = np.clip(np.asarray(frames) * 255.0 + 0.5,
                              0, 255).astype(np.uint8)
                 yield (json.dumps(
@@ -132,6 +162,7 @@ class FloatServer:
                      "dtype": "uint8",
                      "data": base64.b64encode(u8.tobytes()).decode()})
                     + "\n").encode()
+        self._count(frames=n_frames, busy=time.perf_counter() - t0)
 
     def handle_graph(self, req: Dict[str, Any]) -> Dict[str, Any]:
         """Execute a ComfyUI workflow graph; returns artifacts as base64."""
@@ -179,6 +210,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             return self._json(200, self.srv.health())
+        if self.path == "/metrics":
+            return self._json(200, self.srv.metrics())
         self._json(404, {"error": f"unknown path {self.path}"})
 
     def _read_body(self) -> Dict[str, Any]:
@@ -217,6 +250,7 @@ class _Handler(BaseHTTPRequestHandler):
             raise
         except Exception as exc:
             logger.exception("request failed")
+            self.srv._count(error=True)
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
 

@@ -125,6 +125,18 @@ def test_bad_request_is_400(server):
         assert "error" in body
 
 
+def test_metrics_counts_generated_frames(server, payload):
+    """Runs after the generate tests (module-scoped server): counters
+    reflect the frames produced and busy time accrued."""
+    with _post(server + "/v1/generate", payload) as r:
+        r.read()
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["frames"] >= 25 and m["requests"] >= 1
+    assert m["busy_seconds"] > 0
+    assert m["frames_per_busy_second"] > 0
+
+
 def test_unknown_path_404(server):
     try:
         _post(server + "/v1/nope", {})
