@@ -191,6 +191,10 @@ class FloatServer:
             return {"artifacts": artifacts}
 
 
+class _BodyTooLarge(Exception):
+    pass
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "float_tpu"
     protocol_version = "HTTP/1.1"    # chunked streaming needs 1.1
@@ -214,8 +218,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, self.srv.metrics())
         self._json(404, {"error": f"unknown path {self.path}"})
 
+    # request bodies carry base64 media; bound them so a stray client
+    # cannot OOM the server (override via FLOAT_SERVE_MAX_BODY_MB)
+    MAX_BODY = int(os.environ.get("FLOAT_SERVE_MAX_BODY_MB", "512")) << 20
+
     def _read_body(self) -> Dict[str, Any]:
         n = int(self.headers.get("Content-Length", 0))
+        if n > self.MAX_BODY:
+            raise _BodyTooLarge(n)
         return json.loads(self.rfile.read(n) or b"{}")
 
     def do_POST(self):
@@ -244,6 +254,10 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/v1/graph":
                 return self._json(200, self.srv.handle_graph(req))
             self._json(404, {"error": f"unknown path {self.path}"})
+        except _BodyTooLarge as exc:
+            self.close_connection = True    # unread body would desync 1.1
+            self._json(413, {"error": f"body of {exc.args[0]} bytes "
+                                      f"exceeds limit {self.MAX_BODY}"})
         except (KeyError, ValueError, json.JSONDecodeError) as exc:
             self._json(400, {"error": str(exc)})
         except BrokenPipeError:

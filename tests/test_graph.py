@@ -432,6 +432,45 @@ def test_run_reference_advanced_workflow(graph_io, tmp_path, tiny_pipe):
 
 
 @needs_reference
+def test_graph_equals_direct_function_calls(graph_io, tmp_path, tiny_pipe):
+    """The graph layer is a pure adapter: running float_adv.json produces
+    EXACTLY the arrays the api.nodes functions return when called with
+    the same widget values (same seeds, same order)."""
+    from float_tpu.api import nodes as N
+    path = os.path.join(REF_WF_DIR, "float_adv.json")
+    ctx = _ctx(graph_io, tmp_path, pipe=tiny_pipe)
+    results, _ = run_comfy_workflow(path, ctx)
+    nodes = flatten_graph(json.load(open(path)))
+    by_type = {n.type: k for k, n in nodes.items()}
+    sampler = nodes[by_type["FloatSampleMotionSequenceRD"]]
+
+    img = np.load(graph_io / "img.npy")[None]
+    audio = {"waveform": np.load(graph_io / "aud.npy")[None][None],
+             "sample_rate": 16000}
+    app, lam = N.float_encode_image_to_latents(tiny_pipe, img)
+    r_s = N.float_get_identity_reference(tiny_pipe, lam)
+    enc_audio = nodes[by_type["FloatEncodeAudioToLatentWA"]]
+    wa, t, processed = N.float_encode_audio_to_wa(
+        tiny_pipe, audio, fps=float(enc_audio.widgets.get("fps", 25.0)))
+    emo = nodes[by_type["FloatEncodeEmotionToLatentWE"]]
+    we = N.float_encode_emotion_to_we(
+        tiny_pipe, processed, emotion=emo.widgets.get("emotion", "none"))
+    r_d = N.float_sample_motion_sequence(
+        tiny_pipe, r_s, wa, we, audio_num_frames=t,
+        a_cfg_scale=float(sampler.widgets["a_cfg_scale"]),
+        e_cfg_scale=float(sampler.widgets["e_cfg_scale"]),
+        seed=int(sampler.widgets["seed"]))
+    frames, _fps = N.float_decode_latents_to_images(tiny_pipe, app, r_d)
+
+    np.testing.assert_array_equal(
+        np.asarray(results[by_type["FloatSampleMotionSequenceRD"]][0]),
+        np.asarray(r_d))
+    np.testing.assert_array_equal(
+        np.asarray(results[by_type["FloatDecodeLatentsToImages"]][0]),
+        np.asarray(frames))
+
+
+@needs_reference
 def test_run_reference_va_subgraph_workflow(graph_io, tmp_path,
                                             tiny_model_store):
     """float_very_advanced_subgraphs.json: nested subgraphs, every network

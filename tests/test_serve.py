@@ -143,3 +143,23 @@ def test_unknown_path_404(server):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_oversized_body_413(payload):
+    """Bodies over MAX_BODY are rejected before being read."""
+    from float_tpu.runtime.pipeline import build_synthetic_pipeline
+    pipe = FloatPipe(build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER),
+                     TINY, weights="synthetic")
+    httpd = make_server(pipe, host="127.0.0.1", port=0)
+    httpd.RequestHandlerClass.MAX_BODY = 100
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/v1/generate"
+        try:
+            _post(url, payload)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        httpd.shutdown()
