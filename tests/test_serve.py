@@ -125,6 +125,33 @@ def test_bad_request_is_400(server):
         assert "error" in body
 
 
+def test_client_roundtrip(server, payload):
+    """FloatClient mirrors the endpoints: health, stream, graph."""
+    from float_tpu.client import FloatClient
+    rng = np.random.default_rng(11)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    aud = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    c = FloatClient(server)
+    assert c.health()["status"] == "ok"
+    total = 0
+    for start, frames in c.stream(img, aud, seed=15):
+        assert frames.dtype == np.uint8 and frames.shape[1:] == (64, 64, 3)
+        total += frames.shape[0]
+    assert total == 25
+    wf = {"nodes": [
+        {"id": 1, "type": "LoadImage", "mode": 0,
+         "inputs": [{"name": "image", "widget": {"name": "image"}}],
+         "outputs": [{"name": "IMAGE"}, {"name": "MASK"}],
+         "widgets_values": ["img.npy"]},
+        {"id": 2, "type": "PreviewImage", "mode": 0,
+         "inputs": [{"name": "images", "link": 1}], "outputs": []}],
+        "links": [[1, 1, 0, 2, 0, "IMAGE"]]}
+    arts = c.run_graph(wf, inputs={"img.npy": img})
+    assert len(arts) == 1
+    (blob,) = arts.values()
+    assert np.load(io.BytesIO(blob)).shape == (1, 64, 64, 3)
+
+
 def test_metrics_counts_generated_frames(server, payload):
     """Runs after the generate tests (module-scoped server): counters
     reflect the frames produced and busy time accrued."""
