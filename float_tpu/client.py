@@ -78,6 +78,18 @@ class FloatClient:
                                     dtype=msg["dtype"]).reshape(msg["shape"])
                 yield msg["start"], arr
 
+    def generate_batch(self, clips, **params):
+        """Batched clips -> [{"video": mp4 bytes, "frames": n}, ...].
+        ``clips``: list of {"image", "audio", optional "seed"} with the
+        same payload types generate() accepts."""
+        body = dict(params, clips=[
+            dict(c, image=_b64(c["image"]), audio=_b64(c["audio"]))
+            for c in clips])
+        with self._post("/v1/generate_batch", body) as r:
+            out = json.loads(r.read())
+        return [{"video": base64.b64decode(c["video"]),
+                 "frames": c["frames"]} for c in out["clips"]]
+
     def run_graph(self, workflow, inputs: Optional[Dict[str, Any]] = None,
                   overrides: Optional[Dict[str, Any]] = None,
                   **extra) -> Dict[str, bytes]:

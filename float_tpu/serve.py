@@ -20,6 +20,12 @@ Endpoints (JSON in, JSON or binary out):
   {"start": f, "shape": [k,S,S,3], "dtype": "uint8", "data": <b64>} —
   chunks leave the server as soon as the device decodes them (the
   pipeline's generate_stream interleaves sampling and decode).
+- ``POST /v1/generate_batch`` body {"clips": [{"image", "audio",
+  "seed"?}, ...], ...shared params} -> {"clips": [{"video": <b64 mp4>,
+  "frames"}, ...]} — clips grouped by audio length; each group runs the
+  data-parallel generate_batch path (one batched encode/sample, one
+  decode dispatch stream; shards over the mesh ``data`` axis when the
+  pipeline was built with one).
 - ``POST /v1/graph`` body {"workflow": <ComfyUI graph JSON>,
   "overrides": {...}, "inputs": {"name.ext": <b64>}} -> {"artifacts":
   {name: <b64>}} — executes a reference ComfyUI workflow server-side
@@ -164,6 +170,60 @@ class FloatServer:
                     + "\n").encode()
         self._count(frames=n_frames, busy=time.perf_counter() - t0)
 
+    def handle_generate_batch(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        """Batched clips: {"clips": [{"image", "audio", "seed"?}, ...]}
+        plus shared params.  Clips are grouped by audio length; each
+        group runs the data-parallel generate_batch path (one batched
+        encode/sample + one decode dispatch stream; under a mesh the
+        batch shards over the ``data`` axis).  Returns per-clip mp4s in
+        request order."""
+        import time
+        import jax.numpy as jnp
+        from .api.nodes import comfy_image_to_model_input, normalize_waveform
+        from .io.video import write_video
+        clips = req["clips"]
+        if not clips:
+            raise ValueError("clips must be a non-empty list")
+        cfg = self.pipe.cfg.replace(fps=float(req.get("fps", 25.0)))
+        prepped = []
+        for i, c in enumerate(clips):
+            img = _b64_to_array(c["image"], "image")
+            wave = _b64_to_array(c["audio"], "audio").astype(np.float32)
+            wave = wave.reshape(-1)
+            model_in, _ = comfy_image_to_model_input(
+                img, cfg.input_size, cfg.rgba_conversion, cfg.bkg_color_hex,
+                face_align=bool(req.get("face_align", False)),
+                face_margin=cfg.face_margin)
+            seed = int(c.get("seed", int(req.get("seed", cfg.seed)) + i))
+            prepped.append((i, model_in[0], wave, seed))
+
+        results: Dict[int, Dict[str, Any]] = {}
+        groups: Dict[int, list] = {}
+        for item in prepped:
+            groups.setdefault(len(item[2]), []).append(item)
+        with self.lock:
+            t0 = time.perf_counter()
+            for _n, group in sorted(groups.items()):
+                imgs = jnp.asarray(np.stack([g[1] for g in group]))
+                waves = jnp.asarray(np.stack(
+                    [normalize_waveform(g[2], self.pipe.fe) for g in group]))
+                outs = self.pipe.pipeline.generate_batch(
+                    imgs, waves, emotion=req.get("emotion", "none"),
+                    seeds=[g[3] for g in group],
+                    a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
+                    e_cfg_scale=float(req.get("e_cfg_scale", 1.0)))
+                for (idx, _im, wave, _s), frames in zip(group, outs):
+                    path = os.path.join(self.output_dir, f"clip{idx}.mp4")
+                    write_video(path, frames, cfg.fps, audio=wave,
+                                sample_rate=16000)
+                    with open(path, "rb") as f:
+                        results[idx] = {
+                            "video": base64.b64encode(f.read()).decode(),
+                            "frames": int(frames.shape[0])}
+            self._count(frames=sum(r["frames"] for r in results.values()),
+                        busy=time.perf_counter() - t0)
+        return {"clips": [results[i] for i in range(len(clips))]}
+
     def handle_graph(self, req: Dict[str, Any]) -> Dict[str, Any]:
         """Execute a ComfyUI workflow graph; returns artifacts as base64."""
         from .api.comfy import GraphContext, run_comfy_workflow
@@ -251,6 +311,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self.end_headers()
                 self.wfile.write(video)
                 return
+            if self.path == "/v1/generate_batch":
+                return self._json(200, self.srv.handle_generate_batch(req))
             if self.path == "/v1/graph":
                 return self._json(200, self.srv.handle_graph(req))
             self._json(404, {"error": f"unknown path {self.path}"})

@@ -152,6 +152,23 @@ def test_client_roundtrip(server, payload):
     assert np.load(io.BytesIO(blob)).shape == (1, 64, 64, 3)
 
 
+def test_generate_batch_groups_by_length(server):
+    """Mixed-length clips: same-length pair takes the batched path, the
+    odd one its own group; order and per-clip frame counts preserved."""
+    from float_tpu.client import FloatClient
+    rng = np.random.default_rng(5)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    aud1 = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    aud2 = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    aud3 = (rng.standard_normal(8000) * 0.1).astype(np.float32)   # 0.5 s
+    c = FloatClient(server)
+    out = c.generate_batch([{"image": img, "audio": aud1},
+                            {"image": img, "audio": aud3},
+                            {"image": img, "audio": aud2}])
+    assert [o["frames"] for o in out] == [25, 13, 25]   # ceil(0.5*25)=13
+    assert all(len(o["video"]) > 1000 for o in out)
+
+
 def test_metrics_counts_generated_frames(server, payload):
     """Runs after the generate tests (module-scoped server): counters
     reflect the frames produced and busy time accrued."""
