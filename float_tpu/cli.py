@@ -257,7 +257,8 @@ def cmd_serve(args):
           allow_synthetic=args.allow_synthetic,
           models_root=args.models_root,
           advanced_float_options=(json.loads(args.adv_options)
-                                  if args.adv_options else None))
+                                  if args.adv_options else None),
+          mesh_spec=args.mesh)
 
 
 def main(argv=None):
@@ -327,6 +328,9 @@ def main(argv=None):
     s.add_argument("--models-root", default="models")
     s.add_argument("--adv-options", help="JSON ADV_FLOAT_DICT overrides")
     s.add_argument("--allow-synthetic", action="store_true")
+    s.add_argument("--mesh", metavar="data=D,model=M",
+                   help="serve over a device mesh (DP batch sharding, "
+                        "Megatron TP, frame-parallel decode)")
     s.set_defaults(func=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -341,13 +341,29 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 8472,
 
 def serve(checkpoint: str, host: str = "127.0.0.1", port: int = 8472,
           allow_synthetic: bool = False, models_root: str = "models",
-          advanced_float_options: Optional[dict] = None):
+          advanced_float_options: Optional[dict] = None,
+          mesh_spec: Optional[str] = None):
     """Load the pipeline, warm nothing (first request compiles), serve
-    forever.  The reference equivalent is running ComfyUI as a server."""
+    forever.  The reference equivalent is running ComfyUI as a server.
+
+    ``mesh_spec`` ("data=2,model=4", either axis optional) builds the
+    pipeline over a device mesh: generate_batch shards clips over the
+    ``data`` axis, the FMT/wav2vec2 towers run Megatron-TP over
+    ``model``, decode runs frame-parallel (parallel/mesh.py)."""
     from .api.nodes import load_float_models
     pipe = load_float_models(checkpoint, models_root=models_root,
                              advanced_float_options=advanced_float_options,
                              allow_synthetic=allow_synthetic)
+    if mesh_spec:
+        from .parallel.mesh import make_mesh
+        from .runtime.pipeline import FloatPipeline
+        axes = dict(kv.split("=") for kv in mesh_spec.split(","))
+        mesh = make_mesh(data=int(axes["data"]) if "data" in axes else None,
+                         model=int(axes["model"]) if "model" in axes else None)
+        pl = pipe.pipeline
+        pipe.pipeline = FloatPipeline(pl.params, pl.cfg, pl.w2v_cfg,
+                                      pl.ser_cfg, mesh=mesh)
+        logger.info("mesh mode: %s", dict(mesh.shape))
     httpd = make_server(pipe, host, port)
     logger.info("serving on http://%s:%d (weights=%s)", host,
                 httpd.server_address[1], pipe.weights)
