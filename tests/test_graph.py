@@ -525,6 +525,17 @@ def test_run_reference_two_face_insert_workflow(graph_io, tmp_path,
     assert ctx.artifacts
 
 
+def test_bundled_graph_example(graph_io, tmp_path, tiny_pipe):
+    """example_workflows/graph_regular.json (our authored ComfyUI-format
+    example, usable without the reference checkout) runs end-to-end."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "example_workflows", "graph_regular.json")
+    ctx = _ctx(graph_io, tmp_path, pipe=tiny_pipe)
+    results, ctx = run_comfy_workflow(path, ctx)
+    assert results["4"][0].shape == (25, 64, 64, 3)
+    assert ctx.artifacts and ctx.artifacts[0].endswith(".mp4")
+
+
 def test_cli_graph_subcommand(graph_io, tmp_path, tiny_pipe, monkeypatch):
     """CLI `graph` command parses --set overrides and executes a minimal
     authored graph (LoadImage -> PreviewImage)."""
