@@ -77,7 +77,7 @@ def modconv_packed(xp, style, weight, mod_weight, mod_bias, groups,
 
     sp = pack_vec_gmajor(s * scale, groups)                  # (B/g, g*I)
     xm = xp * sp.astype(xp.dtype)[:, None, None, :]
-    eye = jnp.eye(groups, dtype=w0.dtype)[:, :, None, None]
+    eye = jnp.eye(groups, dtype=xp.dtype)[:, :, None, None]
     wblk = jnp.kron(eye, w0.astype(xp.dtype))                # (gO, gI, kh, kw)
     pad = kh // 2
     out = jax.lax.conv_general_dilated(
