@@ -66,6 +66,17 @@ def main():
                          "measurement taken"}))
             sys.exit(1)
 
+    # Cross-process AOT executable cache: the axon transport's compile
+    # keys are per-session, so without this every bench process pays the
+    # full multi-minute cold start (PERF.md).  Safe by construction —
+    # keys include a float_tpu source fingerprint, host ISA, and device
+    # kind, and any load/dispatch failure falls back to a fresh compile
+    # (utils/aot_cache.py).  Opt out with FLOAT_AOT_CACHE="".
+    os.environ.setdefault(
+        "FLOAT_AOT_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".aot_cache"))
+
     import jax
     import jax.numpy as jnp
 
