@@ -44,6 +44,20 @@ import jax
 logger = logging.getLogger("float_tpu.aot")
 
 
+def _force_sync(out) -> None:
+    """Real device sync on a pytree of outputs: a data-dependent scalar
+    readback of the first array leaf (``float(jnp.sum(x))`` — the repo's
+    standard sync; ``block_until_ready`` is NOT reliable on the axon
+    transport).  Reading the reduced scalar forces the producing dispatch
+    to complete, so any dispatch-time failure raises here."""
+    import jax.numpy as jnp
+    import numpy as np
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "shape"):
+            np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+            return
+
+
 @functools.lru_cache(maxsize=1)
 def _code_fingerprint() -> str:
     """Hash of every float_tpu source file.  Part of the cache key: a
@@ -143,7 +157,13 @@ class AotCache:
                     # only at dispatch ("Function ..._fusion not found"),
                     # and dispatch is async — so materialize the first call
                     # HERE, inside the guard, before trusting the blob.
-                    out = jax.block_until_ready(run(*args, **kwargs))
+                    # block_until_ready returns EARLY through the axon
+                    # tunnel (CLAUDE.md) — force a real sync with a
+                    # data-dependent scalar readback on one output leaf so
+                    # a dispatch failure surfaces inside this try and falls
+                    # back to recompile instead of crashing a later call.
+                    out = run(*args, **kwargs)
+                    _force_sync(out)
                     self._loaded[key] = run
                     logger.info("aot cache hit: %s (%s)", name, key)
                     return out
