@@ -476,7 +476,7 @@ class FloatPipeline:
             uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn,
             use_warp_kernel=cfg.use_pallas, frame_callback=cb)
 
-    def generate_batch(self, imgs: jnp.ndarray, waves: jnp.ndarray, *,
+    def generate_batch(self, imgs: jnp.ndarray, waves, *,
                        emotion: str = "none", seeds=None,
                        a_cfg_scale=None, e_cfg_scale=None, r_cfg_scale=None,
                        nfe=None, ode_method=None, progress=None):
@@ -486,11 +486,17 @@ class FloatPipeline:
         dispatch stream with a single post-loop sync
         (runtime.decode.decode_clips_to_host).
 
-        imgs (B, 3, S, S); waves (B, N) equal-length (pad upstream —
-        the API layer groups ragged batches).  ``seeds``: per-clip noise
-        seeds (list of B ints; default cfg.seed + i, matching the
+        imgs (B, 3, S, S); waves (B, N) equal-length, OR a list of B 1-D
+        arrays of DIFFERING lengths (ragged batch).  Ragged clips are NOT
+        zero-padded to a shared length — padding would change the
+        wav2vec2 attention (global within a clip) and so the features of
+        the real frames; instead audio encodes batch per length group and
+        every clip's decode chunks share the single dispatch stream, so a
+        mixed-length batch pays one decode pass, not one per length, with
+        outputs identical to serial generate calls.  ``seeds``: per-clip
+        noise seeds (list of B ints; default cfg.seed + i, matching the
         reference's per-item seed+i, nodes.py:189-211).  Returns a list
-        of B (T, S, S, 3) float32 arrays.
+        of B (T_i, S, S, 3) float32 arrays.
 
         Replaces the reference's serial pair loop
         (reference: src/nodes/nodes.py:189-211) — the reference had no
@@ -501,12 +507,18 @@ class FloatPipeline:
 
         cfg = self.cfg
         bsz = imgs.shape[0]
-        assert waves.shape[0] == bsz, (imgs.shape, waves.shape)
+        ragged = isinstance(waves, (list, tuple))
+        if ragged:
+            waves = [jnp.asarray(w).reshape(-1) for w in waves]
+            assert len(waves) == bsz, (imgs.shape, len(waves))
+            if len({int(w.shape[-1]) for w in waves}) == 1:
+                waves, ragged = jnp.stack(waves), False
+        else:
+            assert waves.shape[0] == bsz, (imgs.shape, waves.shape)
         if seeds is None:
             seeds = [cfg.seed + i for i in range(bsz)]
-        t_frames = audio_num_frames(waves.shape[-1], cfg)
 
-        if self.mesh is not None:
+        if self.mesh is not None and not ragged:
             from jax.sharding import NamedSharding, PartitionSpec as P
             if bsz % self.mesh.shape.get("data", 1) == 0:
                 data_sh = NamedSharding(self.mesh, P("data"))
@@ -515,11 +527,35 @@ class FloatPipeline:
 
         s_r, _lam, feats, r_s = self.encode_image(imgs)
         _report(progress, "encode_image")
-        wa = self.encode_audio(waves, t_frames)
+
+        if ragged:
+            # audio stages batch per length GROUP (identical math to the
+            # per-clip path: every op is batch-independent), scattered
+            # back to request order
+            groups: dict = {}
+            for i, w in enumerate(waves):
+                groups.setdefault(int(w.shape[-1]), []).append(i)
+            wa_i = [None] * bsz
+            we_i = [None] * bsz
+            for n, idxs in sorted(groups.items()):
+                wv = jnp.stack([waves[i] for i in idxs])
+                wa_g = self.encode_audio(wv, audio_num_frames(n, cfg))
+                we_g = self.emotion_latent(wv, emotion)
+                if we_g.shape[0] == 1 and len(idxs) > 1:
+                    we_g = jnp.broadcast_to(
+                        we_g, (len(idxs),) + we_g.shape[1:])
+                for k, i in enumerate(idxs):
+                    wa_i[i] = wa_g[k:k + 1]
+                    we_i[i] = we_g[k:k + 1]
+        else:
+            t_frames = audio_num_frames(waves.shape[-1], cfg)
+            wa = self.encode_audio(waves, t_frames)
+            we = self.emotion_latent(waves, emotion)
+            if we.shape[0] == 1 and bsz > 1:   # named-emotion one-hot is B=1
+                we = jnp.broadcast_to(we, (bsz,) + we.shape[1:])
+            wa_i = [wa[i:i + 1] for i in range(bsz)]
+            we_i = [we[i:i + 1] for i in range(bsz)]
         _report(progress, "encode_audio")
-        we = self.emotion_latent(waves, emotion)
-        if we.shape[0] == 1 and bsz > 1:       # named-emotion one-hot is B=1
-            we = jnp.broadcast_to(we, (bsz,) + we.shape[1:])
         _report(progress, "emotion")
 
         # per-clip noise seeds -> per-clip sampling (the per-chunk fold_in
@@ -527,8 +563,8 @@ class FloatPipeline:
         # of ALL clips still dispatch back-to-back (async) before decode.
         r_ds = []
         for i in range(bsz):
-            r_d = self.sample(r_s[i:i + 1], wa[i:i + 1],
-                              we[i:i + 1], seed=seeds[i],
+            r_d = self.sample(r_s[i:i + 1], wa_i[i],
+                              we_i[i], seed=seeds[i],
                               a_cfg_scale=a_cfg_scale,
                               e_cfg_scale=e_cfg_scale,
                               r_cfg_scale=r_cfg_scale,

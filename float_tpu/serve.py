@@ -33,22 +33,149 @@ Endpoints (JSON in, JSON or binary out):
 
 One generation runs at a time (single-chip serialization via a mutex);
 concurrent requests queue on the lock, health checks never block.
+
+Concurrency contract (replaces the reference's serial one-at-a-time node
+loop, /root/reference/src/nodes/nodes.py:189-211):
+
+- The generation lock covers DEVICE work only.  Streaming responses are
+  produced by a worker thread into a byte-bounded buffer; client socket
+  writes happen outside the lock, so a slow or stalled reader can only
+  stall its own stream, never the chip or other clients.
+- A reader that accepts no data for ``stream_stall_timeout`` seconds while
+  the buffer is full gets its generation aborted (the worker stops
+  dispatching and releases the chip).
+- Admission control: at most ``max_pending`` requests may hold or wait for
+  the generation lock; beyond that the server answers ``503`` with a
+  ``Retry-After`` header instead of queueing unboundedly.
+- Every socket has a write timeout (``FLOAT_SERVE_SOCKET_TIMEOUT``); a
+  client that stops reading a non-streamed body cannot pin a handler
+  thread forever.
+- ``/metrics`` reports request latency percentiles (total and
+  lock-wait), rejected/aborted counts, and live queue depth.
 """
 from __future__ import annotations
 
 import base64
+import contextlib
 import io
 import json
 import logging
 import os
 import tempfile
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 import numpy as np
 
 logger = logging.getLogger("float_tpu.serve")
+
+
+class _Busy(Exception):
+    """Raised by admission control when the pending queue is saturated."""
+
+    def __init__(self, depth: int, retry_after: float):
+        super().__init__(f"server busy: {depth} requests pending")
+        self.depth = depth
+        self.retry_after = retry_after
+
+
+class _ReaderStalled(Exception):
+    """The streaming client accepted no data for the stall timeout while
+    the buffer was full — its generation is aborted."""
+
+
+class _StreamBuffer:
+    """Byte-bounded handoff between the generation worker (producer) and
+    the HTTP handler writing to the client socket (consumer).
+
+    The producer blocks only when ``budget_bytes`` of encoded lines are
+    already queued (a healthy reader never lets it fill: a 512² stream
+    chunk is ~25 MB base64 against a default 256 MB budget); if the
+    consumer then makes no progress for ``stall_timeout`` seconds the
+    producer raises ``_ReaderStalled`` and the generation stops — the
+    chip is never held idle by a dead client."""
+
+    def __init__(self, budget_bytes: int, stall_timeout: float):
+        self.budget = budget_bytes
+        self.stall_timeout = stall_timeout
+        self._q: deque = deque()
+        self._bytes = 0
+        self._closed = False          # producer done (or aborted)
+        self._error: Optional[BaseException] = None
+        self._cancelled = False       # consumer gone
+        self._cv = threading.Condition()
+
+    def put(self, line: bytes) -> None:
+        with self._cv:
+            deadline = time.monotonic() + self.stall_timeout
+            while (self._bytes + len(line) > self.budget and self._bytes > 0
+                   and not self._cancelled):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise _ReaderStalled()
+                self._cv.wait(timeout=remaining)
+            if self._cancelled:
+                raise _ReaderStalled()
+            self._q.append(line)
+            self._bytes += len(line)
+            self._cv.notify_all()
+
+    def close(self, error: Optional[BaseException] = None) -> None:
+        with self._cv:
+            self._closed = True
+            self._error = error
+            self._cv.notify_all()
+
+    def cancel(self) -> None:
+        """Consumer is gone: unblock and stop the producer."""
+        with self._cv:
+            self._cancelled = True
+            self._q.clear()
+            self._bytes = 0
+            self._cv.notify_all()
+
+    def __iter__(self):
+        while True:
+            with self._cv:
+                while not self._q and not self._closed:
+                    self._cv.wait(timeout=1.0)
+                if self._q:
+                    line = self._q.popleft()
+                    self._bytes -= len(line)
+                    self._cv.notify_all()
+                else:                     # closed and drained
+                    if self._error is not None:
+                        raise self._error
+                    return
+            yield line
+
+
+class _LatencyWindow:
+    """Fixed-size ring of request latencies -> p50/p95/p99 summaries."""
+
+    def __init__(self, maxlen: int = 512):
+        self._d: deque = deque(maxlen=maxlen)
+        self._lock = threading.Lock()
+
+    def add(self, seconds: float) -> None:
+        with self._lock:
+            self._d.append(seconds)
+
+    def summary(self) -> Optional[Dict[str, float]]:
+        with self._lock:
+            vals = sorted(self._d)
+        if not vals:
+            return None
+
+        def pct(p):
+            i = min(len(vals) - 1, int(round(p / 100.0 * (len(vals) - 1))))
+            return round(vals[i], 4)
+
+        return {"count": len(vals), "p50": pct(50), "p95": pct(95),
+                "p99": pct(99), "max": round(vals[-1], 4)}
 
 
 def _b64_to_array(data: str, kind: str) -> np.ndarray:
@@ -76,13 +203,30 @@ class FloatServer:
     """Wraps a FloatPipe behind the HTTP handler; testable without
     sockets via ``handle_generate`` / ``handle_graph``."""
 
-    def __init__(self, pipe, output_dir: Optional[str] = None):
+    def __init__(self, pipe, output_dir: Optional[str] = None,
+                 max_pending: Optional[int] = None,
+                 stream_buffer_mb: Optional[float] = None,
+                 stream_stall_timeout: Optional[float] = None):
         self.pipe = pipe
         self.output_dir = output_dir or tempfile.mkdtemp(prefix="float_srv_")
         self.lock = threading.Lock()     # one generation at a time per chip
+        # admission control: requests holding OR waiting for the lock
+        self.max_pending = max_pending if max_pending is not None else int(
+            os.environ.get("FLOAT_SERVE_MAX_PENDING", "4"))
+        mb = (stream_buffer_mb if stream_buffer_mb is not None else float(
+            os.environ.get("FLOAT_SERVE_STREAM_BUFFER_MB", "256")))
+        self.stream_buffer_bytes = int(mb * (1 << 20))
+        self.stream_stall_timeout = (
+            stream_stall_timeout if stream_stall_timeout is not None
+            else float(os.environ.get("FLOAT_SERVE_STREAM_STALL_SEC", "60")))
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "errors": 0, "frames": 0,
-                      "busy_seconds": 0.0}
+                      "busy_seconds": 0.0, "rejected_busy": 0,
+                      "stream_aborts": 0}
+        self.latency = _LatencyWindow()       # total request seconds
+        self.lock_wait = _LatencyWindow()     # seconds queued on the lock
 
     def _count(self, frames: int = 0, busy: float = 0.0, error: bool = False):
         with self._stats_lock:
@@ -90,6 +234,38 @@ class FloatServer:
             self.stats["errors"] += 1 if error else 0
             self.stats["frames"] += frames
             self.stats["busy_seconds"] += busy
+
+    def _bump(self, key: str):
+        with self._stats_lock:
+            self.stats[key] += 1
+
+    def _slot_acquire(self):
+        """Admission control: raises _Busy (-> HTTP 503 + Retry-After)
+        instead of queueing beyond ``max_pending`` on the lock."""
+        with self._pending_lock:
+            if self._pending >= self.max_pending:
+                self._bump("rejected_busy")
+                # a rough hint: current queue × a nominal clip time
+                raise _Busy(self._pending, retry_after=5.0 * self._pending)
+            self._pending += 1
+
+    def _slot_release(self):
+        with self._pending_lock:
+            self._pending -= 1
+
+    @contextlib.contextmanager
+    def _admit(self):
+        """Admission + generation lock.  Raises _Busy instead of queueing
+        beyond ``max_pending``; records the time spent waiting for the
+        chip (the queueing component of request latency)."""
+        self._slot_acquire()
+        t0 = time.perf_counter()
+        try:
+            with self.lock:
+                self.lock_wait.add(time.perf_counter() - t0)
+                yield
+        finally:
+            self._slot_release()
 
     # -- request handlers (transport-independent) --------------------------
 
@@ -102,23 +278,29 @@ class FloatServer:
 
     def metrics(self) -> Dict[str, Any]:
         """Serving counters: cumulative requests / errors / generated
-        frames / device-busy seconds, and derived frames-per-busy-second
-        (the serving-side view of the bench.py metric)."""
+        frames / device-busy seconds, derived frames-per-busy-second
+        (the serving-side view of the bench.py metric), live queue depth,
+        and request-latency percentiles (total and lock-wait)."""
         with self._stats_lock:
             out = dict(self.stats)
         busy = out["busy_seconds"]
         out["frames_per_busy_second"] = \
             round(out["frames"] / busy, 2) if busy > 0 else None
+        with self._pending_lock:
+            out["queue_depth"] = self._pending
+        out["latency_seconds"] = self.latency.summary()
+        out["lock_wait_seconds"] = self.lock_wait.summary()
         return out
 
     def handle_generate(self, req: Dict[str, Any]):
-        """Non-streaming generate -> (mp4 bytes, n_frames)."""
-        import time
+        """Non-streaming generate -> (mp4 bytes, n_frames).  The lock
+        covers device work only; mp4 encoding and the socket write happen
+        after release."""
         img = _b64_to_array(req["image"], "image")
         wave = _b64_to_array(req["audio"], "audio").astype(np.float32)
         from .api.nodes import float_process
         from .io.video import write_video
-        with self.lock:
+        with self._admit():
             t0 = time.perf_counter()
             frames, _audio, fps = float_process(
                 img[None] if img.ndim == 3 else img,
@@ -137,8 +319,10 @@ class FloatServer:
         with open(path, "rb") as f:
             return f.read(), frames.shape[0]
 
-    def iter_generate_stream(self, req: Dict[str, Any]):
-        """Streaming generate -> yields NDJSON lines (bytes)."""
+    def _prep_stream_inputs(self, req: Dict[str, Any]):
+        """Host-side parse/preprocess for a streaming request — runs in
+        the HANDLER thread so malformed input still maps to HTTP 400
+        (after the worker starts, 200 + chunked headers are already out)."""
         import jax.numpy as jnp
         from .api.nodes import comfy_image_to_model_input, normalize_waveform
         img = _b64_to_array(req["image"], "image")
@@ -150,34 +334,79 @@ class FloatServer:
             face_margin=cfg.face_margin)
         wave_n = jnp.asarray(normalize_waveform(wave.reshape(-1),
                                                 self.pipe.fe)[None])
-        import time
-        n_frames, t0 = 0, time.perf_counter()
-        with self.lock:
-            for start, frames in self.pipe.pipeline.generate_stream(
-                    jnp.asarray(model_in), wave_n,
-                    emotion=req.get("emotion", "none"),
-                    seed=int(req.get("seed", 15)),
-                    a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
-                    e_cfg_scale=float(req.get("e_cfg_scale", 1.0)),
-                    fps=cfg.fps):
-                n_frames += frames.shape[0]
-                u8 = np.clip(np.asarray(frames) * 255.0 + 0.5,
-                             0, 255).astype(np.uint8)
-                yield (json.dumps(
-                    {"start": int(start), "shape": list(u8.shape),
-                     "dtype": "uint8",
-                     "data": base64.b64encode(u8.tobytes()).decode()})
-                    + "\n").encode()
-        self._count(frames=n_frames, busy=time.perf_counter() - t0)
+        return jnp.asarray(model_in), wave_n, cfg
+
+    def stream_generate(self, req: Dict[str, Any]) -> _StreamBuffer:
+        """Start a streaming generation; returns the byte buffer to drain
+        to the client.  Admission failures (_Busy) and input errors raise
+        HERE (handler thread, before any response bytes); device work runs
+        in a worker thread that holds the generation lock only while
+        producing into the buffer — a healthy reader never blocks it, a
+        stalled one aborts its own generation after ``stream_stall_timeout``
+        and frees the chip."""
+        model_in, wave_n, cfg = self._prep_stream_inputs(req)
+        self._slot_acquire()
+        buf = _StreamBuffer(self.stream_buffer_bytes,
+                            self.stream_stall_timeout)
+
+        def worker():
+            n_frames, busy, err = 0, 0.0, False
+            t0 = time.perf_counter()
+            try:
+                with self.lock:
+                    self.lock_wait.add(time.perf_counter() - t0)
+                    t_dev = time.perf_counter()
+                    try:
+                        for start, frames in self.pipe.pipeline.generate_stream(
+                                model_in, wave_n,
+                                emotion=req.get("emotion", "none"),
+                                seed=int(req.get("seed", 15)),
+                                a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
+                                e_cfg_scale=float(req.get("e_cfg_scale", 1.0)),
+                                fps=cfg.fps):
+                            u8 = np.clip(np.asarray(frames) * 255.0 + 0.5,
+                                         0, 255).astype(np.uint8)
+                            line = (json.dumps(
+                                {"start": int(start), "shape": list(u8.shape),
+                                 "dtype": "uint8",
+                                 "data": base64.b64encode(
+                                     u8.tobytes()).decode()}) + "\n").encode()
+                            buf.put(line)
+                            n_frames += frames.shape[0]
+                    finally:
+                        busy = time.perf_counter() - t_dev
+                buf.close()
+            except _ReaderStalled as exc:
+                self._bump("stream_aborts")
+                logger.warning("stream aborted: reader stalled > %.0fs "
+                               "with a full buffer", self.stream_stall_timeout)
+                buf.close(exc)
+            except BaseException as exc:   # noqa: BLE001 — must reach client
+                err = True
+                logger.exception("stream generation failed")
+                buf.close(exc)
+            finally:
+                self._slot_release()
+                self._count(frames=n_frames, busy=busy, error=err)
+
+        threading.Thread(target=worker, daemon=True,
+                         name="float-stream-gen").start()
+        return buf
+
+    def iter_generate_stream(self, req: Dict[str, Any]):
+        """Streaming generate -> yields NDJSON lines (bytes).  Thin drain
+        over stream_generate (kept as the transport-free test surface)."""
+        yield from self.stream_generate(req)
 
     def handle_generate_batch(self, req: Dict[str, Any]) -> Dict[str, Any]:
         """Batched clips: {"clips": [{"image", "audio", "seed"?}, ...]}
-        plus shared params.  Clips are grouped by audio length; each
-        group runs the data-parallel generate_batch path (one batched
-        encode/sample + one decode dispatch stream; under a mesh the
-        batch shards over the ``data`` axis).  Returns per-clip mp4s in
-        request order."""
-        import time
+        plus shared params.  ONE ragged generate_batch call covers all
+        clips regardless of audio length — mixed-length batches share a
+        single decode dispatch stream instead of running per-length
+        groups serially (runtime/pipeline.py generate_batch); under a
+        mesh the batch shards over the ``data`` axis.  The lock covers
+        device work only; mp4 encoding happens after release.  Returns
+        per-clip mp4s in request order."""
         import jax.numpy as jnp
         from .api.nodes import comfy_image_to_model_input, normalize_waveform
         from .io.video import write_video
@@ -185,44 +414,40 @@ class FloatServer:
         if not clips:
             raise ValueError("clips must be a non-empty list")
         cfg = self.pipe.cfg.replace(fps=float(req.get("fps", 25.0)))
-        prepped = []
+        imgs, waves, seeds = [], [], []
         for i, c in enumerate(clips):
             img = _b64_to_array(c["image"], "image")
             wave = _b64_to_array(c["audio"], "audio").astype(np.float32)
-            wave = wave.reshape(-1)
             model_in, _ = comfy_image_to_model_input(
                 img, cfg.input_size, cfg.rgba_conversion, cfg.bkg_color_hex,
                 face_align=bool(req.get("face_align", False)),
                 face_margin=cfg.face_margin)
-            seed = int(c.get("seed", int(req.get("seed", cfg.seed)) + i))
-            prepped.append((i, model_in[0], wave, seed))
+            imgs.append(model_in[0])
+            waves.append(wave.reshape(-1))
+            seeds.append(int(c.get("seed", int(req.get("seed", cfg.seed)) + i)))
 
-        results: Dict[int, Dict[str, Any]] = {}
-        groups: Dict[int, list] = {}
-        for item in prepped:
-            groups.setdefault(len(item[2]), []).append(item)
-        with self.lock:
+        with self._admit():
             t0 = time.perf_counter()
-            for _n, group in sorted(groups.items()):
-                imgs = jnp.asarray(np.stack([g[1] for g in group]))
-                waves = jnp.asarray(np.stack(
-                    [normalize_waveform(g[2], self.pipe.fe) for g in group]))
-                outs = self.pipe.pipeline.generate_batch(
-                    imgs, waves, emotion=req.get("emotion", "none"),
-                    seeds=[g[3] for g in group],
-                    a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
-                    e_cfg_scale=float(req.get("e_cfg_scale", 1.0)))
-                for (idx, _im, wave, _s), frames in zip(group, outs):
-                    path = os.path.join(self.output_dir, f"clip{idx}.mp4")
-                    write_video(path, frames, cfg.fps, audio=wave,
-                                sample_rate=16000)
-                    with open(path, "rb") as f:
-                        results[idx] = {
-                            "video": base64.b64encode(f.read()).decode(),
-                            "frames": int(frames.shape[0])}
-            self._count(frames=sum(r["frames"] for r in results.values()),
+            outs = self.pipe.pipeline.generate_batch(
+                jnp.asarray(np.stack(imgs)),
+                [jnp.asarray(normalize_waveform(w, self.pipe.fe))
+                 for w in waves],
+                emotion=req.get("emotion", "none"), seeds=seeds,
+                a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
+                e_cfg_scale=float(req.get("e_cfg_scale", 1.0)))
+            self._count(frames=sum(int(f.shape[0]) for f in outs),
                         busy=time.perf_counter() - t0)
-        return {"clips": [results[i] for i in range(len(clips))]}
+
+        results = []
+        for idx, (wave, frames) in enumerate(zip(waves, outs)):
+            path = os.path.join(self.output_dir, f"clip{idx}.mp4")
+            write_video(path, frames, cfg.fps, audio=wave,
+                        sample_rate=16000)
+            with open(path, "rb") as f:
+                results.append({
+                    "video": base64.b64encode(f.read()).decode(),
+                    "frames": int(frames.shape[0])})
+        return {"clips": results}
 
     def handle_graph(self, req: Dict[str, Any]) -> Dict[str, Any]:
         """Execute a ComfyUI workflow graph; returns artifacts as base64."""
@@ -241,7 +466,7 @@ class FloatServer:
                 overrides=req.get("overrides") or {},
                 float_pipe=self.pipe,
                 allow_synthetic=bool(req.get("allow_synthetic", False)))
-            with self.lock:
+            with self._admit():
                 _results, ctx = run_comfy_workflow(req["workflow"], ctx)
             artifacts = {}
             for path in ctx.artifacts:
@@ -259,15 +484,21 @@ class _Handler(BaseHTTPRequestHandler):
     server_version = "float_tpu"
     protocol_version = "HTTP/1.1"    # chunked streaming needs 1.1
     srv: FloatServer = None          # set by make_server
+    # per-socket send/recv timeout: a client that stops reading a
+    # response body cannot pin a handler thread forever (each send()
+    # that makes no progress for this long raises)
+    timeout = float(os.environ.get("FLOAT_SERVE_SOCKET_TIMEOUT", "120"))
 
     def log_message(self, fmt, *args):
         logger.info("%s %s", self.address_string(), fmt % args)
 
-    def _json(self, code: int, obj: Dict[str, Any]):
+    def _json(self, code: int, obj: Dict[str, Any], headers=()):
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in headers:
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -288,21 +519,39 @@ class _Handler(BaseHTTPRequestHandler):
             raise _BodyTooLarge(n)
         return json.loads(self.rfile.read(n) or b"{}")
 
+    def _stream_response(self, req):
+        """Drain a streaming generation to the client as chunked NDJSON.
+        The buffer decouples the generation worker from this socket: a
+        dead/stalled reader here cancels only its own generation."""
+        buf = self.srv.stream_generate(req)   # _Busy/4xx raise BEFORE headers
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
+            for line in buf:
+                self.wfile.write(
+                    f"{len(line):x}\r\n".encode() + line + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionError, TimeoutError, OSError):
+            buf.cancel()                      # stop the producer
+            self.close_connection = True
+        except _ReaderStalled:
+            # producer gave up on us: terminate the response mid-stream
+            self.close_connection = True
+        except Exception:
+            # generation failed mid-stream (200 already sent): the
+            # truncated chunked body signals the client
+            logger.exception("stream failed mid-response")
+            self.close_connection = True
+
     def do_POST(self):
+        t0 = time.perf_counter()
         try:
             req = self._read_body()
             if self.path == "/v1/generate":
                 if req.get("stream"):
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "application/x-ndjson")
-                    self.send_header("Transfer-Encoding", "chunked")
-                    self.end_headers()
-                    for line in self.srv.iter_generate_stream(req):
-                        self.wfile.write(
-                            f"{len(line):x}\r\n".encode() + line + b"\r\n")
-                    self.wfile.write(b"0\r\n\r\n")
-                    return
+                    return self._stream_response(req)
                 video, n_frames = self.srv.handle_generate(req)
                 self.send_response(200)
                 self.send_header("Content-Type", "video/mp4")
@@ -316,6 +565,11 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/v1/graph":
                 return self._json(200, self.srv.handle_graph(req))
             self._json(404, {"error": f"unknown path {self.path}"})
+        except _Busy as exc:
+            self._json(503, {"error": str(exc),
+                             "retry_after": exc.retry_after},
+                       headers=[("Retry-After",
+                                 str(int(exc.retry_after) or 1))])
         except _BodyTooLarge as exc:
             self.close_connection = True    # unread body would desync 1.1
             self._json(413, {"error": f"body of {exc.args[0]} bytes "
@@ -328,13 +582,18 @@ class _Handler(BaseHTTPRequestHandler):
             logger.exception("request failed")
             self.srv._count(error=True)
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+        finally:
+            if self.path.startswith("/v1/"):
+                self.srv.latency.add(time.perf_counter() - t0)
 
 
 def make_server(pipe, host: str = "127.0.0.1", port: int = 8472,
-                output_dir: Optional[str] = None) -> ThreadingHTTPServer:
+                output_dir: Optional[str] = None,
+                **server_opts) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server around a loaded FloatPipe;
-    port 0 picks a free port (tests)."""
-    srv = FloatServer(pipe, output_dir=output_dir)
+    port 0 picks a free port (tests).  ``server_opts`` pass through to
+    FloatServer (max_pending, stream_buffer_mb, stream_stall_timeout)."""
+    srv = FloatServer(pipe, output_dir=output_dir, **server_opts)
     handler = type("BoundHandler", (_Handler,), {"srv": srv})
     return ThreadingHTTPServer((host, port), handler)
 

@@ -16,11 +16,15 @@ from test_pipeline import TINY, TINY_W2V, TINY_SER
 
 
 @pytest.fixture(scope="module")
-def server():
+def fpipe():
     from float_tpu.runtime.pipeline import build_synthetic_pipeline
-    pipe = FloatPipe(build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER),
+    return FloatPipe(build_synthetic_pipeline(TINY, TINY_W2V, TINY_SER),
                      TINY, weights="synthetic")
-    httpd = make_server(pipe, host="127.0.0.1", port=0)
+
+
+@pytest.fixture(scope="module")
+def server(fpipe):
+    httpd = make_server(fpipe, host="127.0.0.1", port=0)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -237,6 +241,125 @@ def test_mesh_mode_serving():
     for a, b in zip(outs["single"], outs["mesh"]):
         assert a["frames"] == b["frames"]
         assert a["video"] == b["video"]
+
+
+# ---------------------------------------------------------------------------
+# concurrency contract (round-4): the generation lock covers device work
+# only; slow readers stall only themselves; saturation answers 503
+# ---------------------------------------------------------------------------
+
+def test_stalled_reader_aborts_generation(fpipe, payload):
+    """A stream consumer that stops reading with a full buffer gets its
+    generation aborted after stream_stall_timeout and the chip is FREED
+    (transport-free: exercises FloatServer + _StreamBuffer directly).
+    Budget 0.06 MB < one 4-frame NDJSON line, so the producer can hold at
+    most one queued line and blocks on the next."""
+    import time
+    from float_tpu.serve import FloatServer, _ReaderStalled
+
+    srv = FloatServer(fpipe, max_pending=2, stream_buffer_mb=0.06,
+                      stream_stall_timeout=0.5)
+    buf = srv.stream_generate(dict(payload, stream=True))
+    it = iter(buf)
+    first = next(it)                       # consume ONE line, then stall
+    assert json.loads(first)["start"] == 0
+    # stop consuming entirely: whatever the generation speed, the
+    # producer must fill the buffer, block, and abort within the stall
+    # timeout of its LAST admitted put
+    deadline = time.time() + 120
+    while srv.metrics()["stream_aborts"] == 0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert srv.metrics()["stream_aborts"] == 1
+    assert not srv.lock.locked(), "abort must release the generation lock"
+    # the drain surfaces the abort after the already-queued lines
+    got, err = 0, None
+    try:
+        for _line in it:
+            got += 1
+    except _ReaderStalled as exc:
+        err = exc
+    assert err is not None, "consumer must see the abort"
+    assert got <= 2                        # only the already-queued lines
+    # the chip is usable immediately: a full generate succeeds
+    video, n = srv.handle_generate(payload)
+    assert n == 25 and len(video) > 1000
+
+
+def test_busy_saturation_raises(fpipe, payload):
+    """Beyond max_pending the server refuses instead of queueing."""
+    from float_tpu.serve import FloatServer, _Busy
+
+    srv = FloatServer(fpipe, max_pending=1)
+    with srv._admit():
+        with pytest.raises(_Busy):
+            srv.handle_generate(payload)
+    assert srv.metrics()["rejected_busy"] == 1
+    # after release the same request is admitted again
+    _video, n = srv.handle_generate(payload)
+    assert n == 25
+
+
+def test_busy_maps_to_http_503_with_retry_after(fpipe, payload):
+    """Socket-level: a saturated server answers 503 + Retry-After."""
+    httpd = make_server(fpipe, host="127.0.0.1", port=0, max_pending=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/v1/generate"
+        try:
+            _post(url, payload)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert int(e.headers["Retry-After"]) >= 1
+            assert "busy" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_slow_stream_reader_does_not_block_other_clients(server, payload):
+    """Client A opens a stream, reads ONE line and pauses; client B's
+    full generate must complete while A is paused (generation runs into
+    the buffer and releases the lock; client I/O is outside it).  A then
+    drains its complete stream."""
+    import http.client
+    host, port = server.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=120)
+    body = json.dumps(dict(payload, stream=True))
+    conn.request("POST", "/v1/generate", body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    first = resp.readline()                # one NDJSON line
+    assert json.loads(first)["start"] == 0
+
+    # B: a full mp4 generate on a second connection while A is paused
+    with _post(server + "/v1/generate", payload, timeout=120) as r:
+        assert int(r.headers["X-Frames"]) == 25
+        r.read()
+
+    # A drains the rest of its stream intact
+    total = np.frombuffer(base64.b64decode(json.loads(first)["data"]),
+                          dtype=np.uint8).reshape(
+                              json.loads(first)["shape"]).shape[0]
+    for line in resp:
+        if not line.strip():
+            continue
+        msg = json.loads(line)
+        total += np.frombuffer(base64.b64decode(msg["data"]),
+                               dtype=np.uint8).reshape(msg["shape"]).shape[0]
+    conn.close()
+    assert total == 25
+
+
+def test_metrics_reports_latency_and_queue(server):
+    """After the requests above: percentile summaries + queue depth."""
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["queue_depth"] == 0
+    lat = m["latency_seconds"]
+    assert lat and lat["count"] >= 1
+    assert 0 <= lat["p50"] <= lat["p95"] <= lat["max"]
+    assert m["lock_wait_seconds"]["count"] >= 1
 
 
 def test_oversized_body_413(payload):

@@ -162,6 +162,39 @@ def test_generate_batch_matches_serial(pipe, inputs):
         np.testing.assert_allclose(outs[i], ref, atol=1 / 255.0 + 1e-5)
 
 
+def test_generate_batch_ragged_matches_serial(pipe, inputs):
+    """Mixed-length clips in ONE generate_batch call: audio encodes batch
+    per length group, the decode shares one dispatch stream, and every
+    clip's output is identical to its solo generate (no padding touches
+    the audio features)."""
+    img, wave = inputs
+    waves = [wave[0], wave[0, :8000] * 0.5, wave[0] * 0.8]   # 1 s, 0.5 s, 1 s
+    imgs = jnp.concatenate([img, img * 0.9, img], axis=0)
+
+    outs = pipe.generate_batch(imgs, waves, emotion="happy",
+                               seeds=[15, 16, 17])
+    assert [o.shape[0] for o in outs] == [25, 13, 25]
+    for i, seed in enumerate((15, 16, 17)):
+        ref = np.asarray(pipe.generate(imgs[i:i + 1], waves[i][None],
+                                       emotion="happy", seed=seed))
+        assert outs[i].shape == ref.shape
+        # uint8 wire quantization on the batch path
+        np.testing.assert_allclose(outs[i], ref, atol=1 / 255.0 + 1e-5)
+
+
+def test_generate_batch_ragged_equal_lengths_collapses_to_batched(pipe, inputs):
+    """A ragged list whose lengths happen to match takes the fully
+    batched path (one encode_audio) and still matches serial."""
+    img, wave = inputs
+    outs = pipe.generate_batch(
+        jnp.concatenate([img, img], axis=0),
+        [wave[0], wave[0] * 0.5], emotion="happy", seeds=[15, 16])
+    for i, (w, seed) in enumerate(zip((wave[0], wave[0] * 0.5), (15, 16))):
+        ref = np.asarray(pipe.generate(img, w[None], emotion="happy",
+                                       seed=seed))
+        np.testing.assert_allclose(outs[i], ref, atol=1 / 255.0 + 1e-5)
+
+
 # ---------------------------------------------------------------------------
 # progress plumbing
 # ---------------------------------------------------------------------------
