@@ -597,6 +597,7 @@ def decode_latents_stream(
     size: int, decode_batch: int = 8, compute_dtype=jnp.float32,
     blur_kernel=(1, 3, 3, 1), uint8_transfer: bool = True,
     chunk_fn=None, frame_callback=None, use_warp_kernel: bool = True,
+    first_chunk: int = 0,
 ):
     """Incremental decode: consume (k, dim_w) r_d pieces from
     ``latent_iter`` and yield (start_frame, frames (k', S, S, 3) float32
@@ -607,6 +608,13 @@ def decode_latents_stream(
     async, the device executes in order, and the host only blocks on the
     chunk it is about to yield (one chunk stays in flight).
 
+    ``first_chunk`` > 0 ramps the FIRST dispatch at a smaller frame count
+    (rounded to the 4-frame lane-packing bucket) so the first frames
+    reach the client after a fraction of a full chunk's compute + wire —
+    throughput is unaffected (all later chunks are full ``decode_batch``)
+    and the small-bucket program is shared with the tail-remainder
+    buckets (_chunk_sizes).
+
     Uses the always-exact fixup chunk program: frames leave the function
     before the optimistic path's post-loop flag sync could validate them,
     so optimism is not sound here (it would yield invalid frames).  The
@@ -615,6 +623,8 @@ def decode_latents_stream(
     import numpy as np
 
     fb = decode_batch
+    if first_chunk:
+        first_chunk = min(fb, max(4, math.ceil(first_chunk / 4) * 4))
     dtype = jnp.dtype(compute_dtype)
     s32 = s_r.astype(jnp.float32)
     feats_c = [jnp.transpose(f.astype(dtype), (0, 2, 3, 1)) for f in feats]
@@ -649,22 +659,24 @@ def decode_latents_stream(
         return start, host
 
     emitted_rows = 0
+    want = first_chunk or fb          # ramp size for dispatch 0 only
     for piece in latent_iter:
         buf.append(piece)
         buffered += piece.shape[0]
-        while buffered >= fb:
+        while buffered >= want:
             cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, axis=0)
-            rows, rest = cat[:fb], cat[fb:]
+            rows, rest = cat[:want], cat[want:]
             buf = [rest] if rest.shape[0] else []
             buffered = rest.shape[0]
-            item = _dispatch(rows, emitted_rows, fb)
-            emitted_rows += fb
+            item = _dispatch(rows, emitted_rows, want)
+            emitted_rows += want
+            want = fb
             if pending is not None:
                 yield _emit(pending)
             pending = item
     if buffered:
         cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, axis=0)
-        pad = jnp.broadcast_to(cat[-1:], (fb - buffered, cat.shape[1]))
+        pad = jnp.broadcast_to(cat[-1:], (want - buffered, cat.shape[1]))
         item = _dispatch(jnp.concatenate([cat, pad], axis=0),
                          emitted_rows, buffered)
         if pending is not None:

@@ -401,10 +401,16 @@ class FloatPipeline:
                         nfe=None, ode_method=None,
                         uint8_transfer: bool = True, progress=None,
                         source: Optional[SourceLatents] = None,
-                        fps: Optional[float] = None):
+                        fps: Optional[float] = None,
+                        first_chunk: int = 0):
         """Streaming generation: yields (start_frame, frames (k, S, S, 3)
         float32 numpy in [0,1]) as soon as each decode chunk reaches the
         host, instead of returning the whole clip at the end.
+
+        ``first_chunk`` > 0 decodes the FIRST chunk at that frame count
+        (rounded to the 4-frame bucket) instead of a full decode_batch:
+        first frames arrive after a fraction of a chunk's compute + wire;
+        later chunks are full-size so throughput is unchanged.
 
         The sampler runs chunk-by-chunk (sampling.sample_motion_chunk —
         same math and noise as the one-scan ``sample``) interleaved with
@@ -474,7 +480,8 @@ class FloatPipeline:
             size=cfg.input_size, decode_batch=cfg.decode_batch,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             uint8_transfer=uint8_transfer, chunk_fn=self._chunk_fn,
-            use_warp_kernel=cfg.use_pallas, frame_callback=cb)
+            use_warp_kernel=cfg.use_pallas, frame_callback=cb,
+            first_chunk=first_chunk)
 
     def generate_batch(self, imgs: jnp.ndarray, waves, *,
                        emotion: str = "none", seeds=None,

@@ -14,12 +14,14 @@ Endpoints (JSON in, JSON or binary out):
 - ``POST /v1/generate`` body
   {"image": <b64 npy|png|jpg>, "audio": <b64 npy|wav>, "emotion",
    "a_cfg_scale", "e_cfg_scale", "fps", "seed", "face_align",
-   "stream": false, "format": "mp4"|"ndjson"}
+   "stream": false, "first_chunk": 8, "format": "mp4"|"ndjson"}
   -> video/mp4 bytes (audio muxed when ffmpeg is present), or with
   ``stream: true`` an ``application/x-ndjson`` response where each line is
   {"start": f, "shape": [k,S,S,3], "dtype": "uint8", "data": <b64>} —
   chunks leave the server as soon as the device decodes them (the
-  pipeline's generate_stream interleaves sampling and decode).
+  pipeline's generate_stream interleaves sampling and decode;
+  ``first_chunk`` ramps the first chunk small for low first-frame
+  latency).
 - ``POST /v1/generate_batch`` body {"clips": [{"image", "audio",
   "seed"?}, ...], ...shared params} -> {"clips": [{"video": <b64 mp4>,
   "frames"}, ...]} — clips grouped by audio length; each group runs the
@@ -313,11 +315,19 @@ class FloatServer:
                 seed=int(req.get("seed", 15)))
             self._count(frames=frames.shape[0],
                         busy=time.perf_counter() - t0)
-        path = os.path.join(self.output_dir, "gen.mp4")
-        write_video(path, frames, fps, audio=wave.reshape(-1),
-                    sample_rate=16000)
-        with open(path, "rb") as f:
-            return f.read(), frames.shape[0]
+        # unique per-request name: mp4 encode runs OUTSIDE the lock, so two
+        # concurrent requests must not clobber each other's file
+        path = os.path.join(self.output_dir,
+                            f"gen-{threading.get_ident()}-{time.monotonic_ns()}.mp4")
+        try:
+            write_video(path, frames, fps, audio=wave.reshape(-1),
+                        sample_rate=16000)
+            with open(path, "rb") as f:
+                return f.read(), frames.shape[0]
+        finally:
+            for p in (path, path[:-4] + ".wav"):   # sidecar when no ffmpeg
+                if os.path.exists(p):
+                    os.unlink(p)
 
     def _prep_stream_inputs(self, req: Dict[str, Any]):
         """Host-side parse/preprocess for a streaming request — runs in
@@ -363,7 +373,8 @@ class FloatServer:
                                 seed=int(req.get("seed", 15)),
                                 a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
                                 e_cfg_scale=float(req.get("e_cfg_scale", 1.0)),
-                                fps=cfg.fps):
+                                fps=cfg.fps,
+                                first_chunk=int(req.get("first_chunk", 8))):
                             u8 = np.clip(np.asarray(frames) * 255.0 + 0.5,
                                          0, 255).astype(np.uint8)
                             line = (json.dumps(

@@ -47,6 +47,33 @@ def test_generate_stream_matches_generate(pipe, inputs):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
 
 
+def test_generate_stream_first_chunk_ramp(pipe, inputs):
+    """first_chunk ramps the FIRST decode dispatch small (low first-frame
+    latency); output is EXACTLY the one-shot clip and later chunks are
+    full decode_batch."""
+    img, wave = inputs
+    ref = np.asarray(pipe.generate(img, wave, emotion="happy", seed=3))
+
+    starts, parts = [], []
+    for start, frames in pipe.generate_stream(img, wave, emotion="happy",
+                                              seed=3, uint8_transfer=False,
+                                              first_chunk=3):
+        starts.append(start)
+        parts.append(frames)
+    # 3 rounds up to the 4-frame bucket; later chunks are decode_batch (4)
+    assert parts[0].shape[0] == 4
+    assert starts[0] == 0 and starts[1] == 4
+    got = np.concatenate(parts, axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
+    # a first_chunk larger than decode_batch clamps to decode_batch
+    parts = [f for _s, f in pipe.generate_stream(
+        img, wave, emotion="happy", seed=3, uint8_transfer=False,
+        first_chunk=99)]
+    np.testing.assert_allclose(np.concatenate(parts, axis=0), ref,
+                               atol=2e-5, rtol=0)
+
+
 def _softmax(x):
     e = np.exp(x - x.max(axis=-1, keepdims=True))
     return (e / e.sum(axis=-1, keepdims=True)).astype(np.float32)
