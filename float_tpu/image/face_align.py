@@ -109,10 +109,13 @@ def face_align_crop(
             logger.warning("only %d faces detected, using the first", len(bboxes))
             index = 1
         x1, y1, x2, y2, _score = bboxes[index - 1]
-        half_h = (y2 - y1) // 2
-        half_w = (x2 - x1) // 2
-        cy = (y1 + y2) // 2
-        cx = (x1 + x2) // 2
+        # int(x/2), NOT x//2: the reference truncates toward zero
+        # (utils/image.py:167-170) and detector boxes at image edges can
+        # have negative coords where floor and trunc differ by one pixel
+        half_h = int((y2 - y1) / 2)
+        half_w = int((x2 - x1) / 2)
+        cy = int((y1 + y2) / 2)
+        cx = int((x1 + x2) / 2)
         half_side = int(max(half_h, half_w) * margin)
         img = cv2.copyMakeBorder(img, half_side, half_side, half_side,
                                  half_side, cv2.BORDER_CONSTANT, value=0)
