@@ -164,7 +164,27 @@ def make_sharded_chunk_fn(mesh):
 
 
 DEFAULT_WARP_DISP = 2
-MAX_WARP_DISP = 7        # the kernels' halo margin bound
+MAX_WARP_DISP = 7        # the kernels' halo margin bound (coarsest level)
+
+
+def _disp_caps(size: int) -> tuple:
+    """Per-kernel-level ratchet caps, COMPILE-PROVEN on v5e
+    (experiments/warp_d_feasibility.py): the packed kernel's scoped-vmem
+    stack grows with D and with lane groups (128/C), so at 24-frame
+    chunks the finest level (C=32, 4 groups) caps at D=3 — D=4 already
+    exceeds the 30 MB scoped-vmem limit at COMPILE time — while 256²
+    (C=64) tolerates 6 and 128² (C=128) the full 7.  Flows beyond the
+    cap stay exact through the cond-gather fixup re-decode; without the
+    cap the ratchet could request an uncompilable kernel and crash the
+    clip (observed on 60 s synthetic-flow clips)."""
+    from ..config import CHANNELS_MAP
+    from ..models.synthesis import n_kernel_levels
+    caps = []
+    for i in range(n_kernel_levels(size)):
+        c = CHANNELS_MAP.get(1 << (i + 7), 32)   # index 0 -> 128², ...
+        caps.append(7 if c >= 128 else 6 if c >= 64 else 3 if c >= 32
+                    else DEFAULT_WARP_DISP)
+    return tuple(caps)
 
 # Monotone per-process ratchet of per-level warp D, keyed by image size.
 # The first decode chunk of every clip doubles as a flow probe; the
@@ -186,8 +206,9 @@ def seed_ratchet(size: int, disp) -> tuple:
     instead of learning D through flagged chunks + re-decodes."""
     from ..models.synthesis import n_kernel_levels
     n = n_kernel_levels(size)
-    disp = tuple(int(min(max(int(d), DEFAULT_WARP_DISP), MAX_WARP_DISP))
-                 for d in disp)
+    caps = _disp_caps(size)
+    disp = tuple(int(min(max(int(d), DEFAULT_WARP_DISP), cap))
+                 for d, cap in zip(disp, caps))
     if len(disp) != n:
         raise ValueError(f"profile has {len(disp)} levels, size {size} "
                          f"needs {n}")
@@ -232,14 +253,15 @@ def load_warp_profile(path: str) -> dict:
 def _ratchet_apply(size: int, stats) -> tuple:
     """Fold probe stats into the ratchet (D floor 2: below it the
     align_corners=False half-pixel offset leaves no slack and the fixup
-    fires; cap MAX_WARP_DISP = kernel halo margin)."""
+    fires; per-level caps = compile-proven kernel bounds, _disp_caps)."""
     import numpy as np
     s = np.asarray(stats)
     cur = _ratchet_get(size)
     if s.size != len(cur):
         return cur
-    new = tuple(int(min(max(int(v), c), MAX_WARP_DISP))
-                for v, c in zip(s, cur))
+    caps = _disp_caps(size)
+    new = tuple(int(min(max(int(v), c), cap))
+                for v, c, cap in zip(s, cur, caps))
     if new != cur:
         _DISP_RATCHET[size] = new
     return new

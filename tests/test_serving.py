@@ -318,21 +318,23 @@ def test_warp_profile_roundtrip(tmp_path):
     old = dict(D._DISP_RATCHET)
     try:
         D._DISP_RATCHET.clear()
-        D.seed_ratchet(512, (3, 2, 4))
-        assert D._ratchet_get(512) == (3, 2, 4)
+        # index 2 (512²) clamps 4 -> its compile-proven cap 3
+        D.seed_ratchet(512, (3, 4, 4))
+        assert D._ratchet_get(512) == (3, 4, 3)
         path = str(tmp_path / "warp_profile.json")
         D.save_warp_profile(path, checkpoint="x.safetensors")
         D._DISP_RATCHET.clear()
         prof = D.load_warp_profile(path)
         assert prof["checkpoint"] == "x.safetensors"
-        assert D._ratchet_get(512) == (3, 2, 4)
+        assert D._ratchet_get(512) == (3, 4, 3)
         # monotone: seeding below the current ratchet never shrinks it
         D.seed_ratchet(512, (2, 2, 2))
-        assert D._ratchet_get(512) == (3, 2, 4)
-        # caps at MAX_WARP_DISP, floors at DEFAULT_WARP_DISP
+        assert D._ratchet_get(512) == (3, 4, 3)
+        # caps at the per-level compile-proven bounds, floors at
+        # DEFAULT_WARP_DISP
         D._DISP_RATCHET.clear()
         D.seed_ratchet(512, (1, 99, 3))
-        assert D._ratchet_get(512) == (2, D.MAX_WARP_DISP, 3)
+        assert D._ratchet_get(512) == (2, D._disp_caps(512)[1], 3)
         with pytest.raises(ValueError):
             D.seed_ratchet(512, (2, 2))
         # missing profile file is a no-op

@@ -47,10 +47,12 @@ def test_disp_ratchet_monotone():
     assert got == (2, 2, 3)             # floor 2, bumps only upward
     got = D._ratchet_apply(512, jnp.asarray([3, 1, 1]))
     assert got == (3, 2, 3)             # never decreases
-    got = D._ratchet_apply(512, jnp.asarray([99, 1, 1]))
-    assert got == (D.MAX_WARP_DISP, 2, 3)   # capped at the halo bound
+    got = D._ratchet_apply(512, jnp.asarray([99, 99, 99]))
+    # capped at the per-level COMPILE-PROVEN bounds (128²=7, 256²=6,
+    # 512²=3 — experiments/warp_d_feasibility.py)
+    assert got == D._disp_caps(512) == (7, 6, 3)
     # mismatched probe (different level count) is ignored
-    assert D._ratchet_apply(512, jnp.asarray([5])) == (D.MAX_WARP_DISP, 2, 3)
+    assert D._ratchet_apply(512, jnp.asarray([5])) == (7, 6, 3)
     D._DISP_RATCHET.pop(512, None)
 
 
