@@ -107,8 +107,9 @@ def run_workflow(wf: Dict[str, Any], output: str = "out",
                 e_cfg_scale=e_cfg, fps=fps, emotion=emotion,
                 seed=seed + face_idx - 1, progress=progress)
             bg = composited if composited is not None else img
-            composited = composite_face_frames(bg, frames_f, bboxes[0],
-                                               feather=wf.get("feather", 0))
+            composited = composite_face_frames(
+                bg, frames_f, bboxes[0], feather=wf.get("feather", 0),
+                inplace=composited is not None)   # faces 2..n patch in place
         frames = composited
 
     else:

@@ -73,6 +73,33 @@ def test_composite_roundtrip():
     assert seq[0, 0, 0, 0] == 0.5
 
 
+def test_composite_frames_matches_per_frame_loop():
+    """The batched composite (hoisted normalization/copies, optional
+    in-place patching) is bit-identical to looping composite_face —
+    static bg, per-frame bg, feather, uint8 bg, and edge-clipped bbox."""
+    rng = np.random.default_rng(3)
+    bg_u8 = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    frames = rng.random((4, 16, 16, 3)).astype(np.float32)
+    for bbox in ((10, 20, 12, 9), (-5, 40, 12, 12)):
+        for feather in (0, 3):
+            got = composite_face_frames(bg_u8, frames, bbox, feather)
+            ref = np.stack([composite_face(bg_u8, f, bbox, feather)
+                            for f in frames])
+            np.testing.assert_array_equal(got, ref)
+            # per-frame backgrounds, out-of-place then in-place
+            got2 = composite_face_frames(got, frames, (30, 5, 10, 10),
+                                         feather)
+            ref2 = np.stack([composite_face(got[i], frames[i],
+                                            (30, 5, 10, 10), feather)
+                             for i in range(4)])
+            np.testing.assert_array_equal(got2, ref2)
+            inp = got.copy()
+            got3 = composite_face_frames(inp, frames, (30, 5, 10, 10),
+                                         feather, inplace=True)
+            assert got3 is inp                      # patched in place
+            np.testing.assert_array_equal(got3, ref2)
+
+
 def test_composite_clips_out_of_bounds():
     bg = np.zeros((32, 32, 3), np.float32)
     face = np.ones((8, 8, 3), np.float32)

@@ -180,7 +180,8 @@ def run(seed):
         we = pipe.emotion_latent(wave, "none")
         r_d = pipe.sample(r_s, wa, we, seed=seed + idx)
         frames = pipe.decode_to_host(s_r, feats, r_d)   # uint8 wire
-        out = composite_face_frames(out, frames, bbox)
+        out = composite_face_frames(out, frames, bbox,
+                                    inplace=out.ndim == 4)
     return out
 
 run(15)                                   # warm (programs + ratchets)
