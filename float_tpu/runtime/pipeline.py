@@ -374,7 +374,11 @@ class FloatPipeline:
         ``progress(stage, i, n)`` reports the encode/audio/emotion/sample
         stages at dispatch and the decode per chunk.  ``source=`` (from
         prepare_source) reuses a pre-encoded image; ``img`` may then be
-        None.  ``fps`` overrides the output frame rate for THIS clip
+        None.  The full clip stays device-resident (f32: T·S²·3·4 bytes —
+        ~1 GB per 320 frames at 512²); for long clips use
+        ``generate_stream``/``decode_to_host`` instead, which bound
+        memory at one decode chunk (a 60 s / 1500-frame clip OOMs the
+        16 GB chip through this method, PERF.md r4).  ``fps`` overrides the output frame rate for THIS clip
         (frame count + audio-feature grid, like float_process's fps
         argument); the sampler's chunk span stays on the pipeline config,
         exactly like the reference, whose FLOAT.num_frames_for_clip is
