@@ -22,13 +22,13 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 
-def build_chunk_parts():
+def build_chunk_parts(decode_batch: int = 24):
     """Converge the ratchets and return the production chunk call's exact
     ingredients: (params_c, wa_full, feats_c, disp, paths, cfg)."""
     from float_tpu.config import FloatConfig
     from float_tpu.runtime.pipeline import build_synthetic_pipeline, audio_num_frames
 
-    cfg = FloatConfig(compute_dtype="bfloat16", decode_batch=16)
+    cfg = FloatConfig(compute_dtype="bfloat16", decode_batch=decode_batch)
     pipe = build_synthetic_pipeline(cfg)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((1, 3, 512, 512)).astype(np.float32) * 0.3)
@@ -52,9 +52,9 @@ def build_chunk_parts():
     return params_c, wa_full, feats_c, disp, paths, cfg
 
 
-def build_chunk():
+def build_chunk(decode_batch: int = 24):
     from float_tpu.runtime import decode as D
-    params_c, wa_full, feats_c, disp, paths, cfg = build_chunk_parts()
+    params_c, wa_full, feats_c, disp, paths, cfg = build_chunk_parts(decode_batch)
 
     def chunk(wa_c):
         return D._decode_chunk(params_c, wa_c, feats_c, 512,
@@ -106,10 +106,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/chunk_trace")
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--decode-batch", type=int, default=24)
     args = ap.parse_args()
 
-    chunk, wa_full, cfg = build_chunk()
+    chunk, wa_full, cfg = build_chunk(args.decode_batch)
     fb = cfg.decode_batch
+    navail = wa_full.shape[0] // fb          # full chunks in the clip
 
     # warm both programs + ratchet
     outs = [chunk(wa_full[i * fb:(i + 1) * fb]) for i in range(3)]
@@ -119,7 +121,8 @@ def main():
     t0 = time.perf_counter()
     res = None
     for i in range(args.chunks):
-        res = chunk(wa_full[(i % 15) * fb:((i % 15) + 1) * fb])
+        j = i % navail
+        res = chunk(wa_full[j * fb:(j + 1) * fb])
     float(jnp.sum(res[0][0, 0, 0].astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / args.chunks
     print(f"untraced chunk: {dt*1e3:.1f} ms  "
@@ -127,7 +130,8 @@ def main():
 
     with jax.profiler.trace(args.trace_dir):
         for i in range(4):
-            res = chunk(wa_full[(i % 15) * fb:((i % 15) + 1) * fb])
+            j = i % navail
+            res = chunk(wa_full[j * fb:(j + 1) * fb])
         float(jnp.sum(res[0][0, 0, 0].astype(jnp.float32)))
     parse_trace(args.trace_dir)
 

@@ -184,9 +184,19 @@ def run(seed):
                                     inplace=out.ndim == 4)
     return out
 
-run(15)                                   # warm (programs + ratchets)
+# warm until the warp D/path ratchet stops moving: chaotic synthetic
+# flows walk it one bump per clip, each bump a kernel recompile that
+# would otherwise land in the timed region (PERF.md r4 serving note)
+from float_tpu.runtime import decode as D
+prev = None
+for w in range(8):
+    run(15 + w)
+    cur = (D._ratchet_get(cfg.input_size), D._path_get(cfg.input_size))
+    if cur == prev:
+        break
+    prev = cur
 t0 = time.perf_counter()
-out = run(16)
+out = run(30)
 dt = time.perf_counter() - t0
 assert out.shape == (t, 768, 1024, 3) and np.isfinite(out).all()
 print("RESULT " + json.dumps({
