@@ -193,6 +193,41 @@ def _disp_caps(size: int) -> tuple:
 # depends on the ratchet — flows beyond D hit the cond-gather fixup.
 _DISP_RATCHET: dict = {}
 
+# Sticky "optimism lost" switch: when a level keeps overflowing while its
+# D ratchet is PINNED at the compile-proven cap (_disp_caps), the
+# optimistic dispatch re-decodes (and on host paths re-transfers) most
+# chunks every clip — double work forever.  The next clips then dispatch
+# the always-exact fixup program as PRIMARY (single decode, single
+# transfer); the probe stats keep ratcheting, and when a clip's flows fit
+# the current D again the switch clears and optimism resumes.  Chaotic
+# synthetic-checkpoint flows live here; real trained flows should never
+# trip it (PERF.md r4 serving note).
+_PESSIMIST: dict = {}        # size -> True
+
+
+def _pessimist_get(size: int) -> bool:
+    return _PESSIMIST.get(size, False)
+
+
+def _pessimist_fold(size: int, all_stats: list) -> None:
+    """Post-loop fold for fixup-primary clips: keep ratcheting the probe
+    stats, and clear the pessimist switch when the clip's observed flows
+    fit the (possibly grown) ratchet."""
+    import numpy as np
+    stats = [s for s in all_stats if s is not None and s.shape[0]]
+    if not stats:
+        return
+    m = np.asarray(jnp.stack(stats)).max(axis=0)
+    _ratchet_apply(size, m)
+    cur = np.asarray(_ratchet_get(size))
+    # clear only on STRICT fit: the probe samples a 4-frame subset, so a
+    # stat equal to D may just mean the subset under-observed a clip that
+    # still overflows (exactly the situation that set the switch)
+    if m.size == len(cur) and len(cur) and (m < cur).all():
+        _PESSIMIST.pop(size, None)
+        logger.info("flows fit D=%s again: resuming optimistic decode "
+                    "at %d²", tuple(cur), size)
+
 
 def _ratchet_get(size: int) -> tuple:
     from ..models.synthesis import n_kernel_levels
@@ -327,9 +362,17 @@ def _path_fold(size: int, spread_max) -> tuple:
     carries zero information and must not create an entry: a first
     observation of ('auto', ...) would be demotion-locked and — once
     persisted by save_warp_profile and re-seeded — would permanently
-    disable fast-path selection on the chip."""
+    disable fast-path selection on the chip.
+
+    A spread vector whose length does not match the size's kernel-level
+    count is ignored (mirrors _ratchet_apply's mismatched-probe guard):
+    recording it would poison the save_warp_profile → load_warp_profile
+    roundtrip, whose seed_paths validates lengths."""
+    from ..models.synthesis import n_kernel_levels
     cur = _PATH_RATCHET.get(size)
     n = len(spread_max)
+    if n != n_kernel_levels(size):
+        return cur if cur is not None else ("auto",) * n_kernel_levels(size)
     if cur is None and all(int(sp) < 0 for sp in spread_max):
         return ("auto",) * n
     if cur is None:
@@ -402,6 +445,21 @@ def _sync_stats_flags(size: int, all_stats: list, all_flags: list,
         stats_max = np.where(ovf_any & (stats_max <= cur),
                              cur + 1, stats_max)
     _ratchet_apply(size, stats_max)
+
+    # optimism lost: a level overflowing on most chunks while PINNED at
+    # its compile cap will redo (and re-transfer) every clip — switch the
+    # next clips to fixup-primary dispatch (_PESSIMIST; cleared by
+    # _pessimist_fold when flows fit again)
+    caps = np.asarray(_disp_caps(size))
+    if ovf_any.shape[0] == len(caps) and len(caps):
+        frac = ovf.mean(axis=0)                      # per level
+        if bool(((frac > 0.5) & (cur >= caps)).any()):
+            if not _PESSIMIST.get(size):
+                logger.info("optimistic decode losing at %d² (overflow on "
+                            "%s of chunks at the D cap): switching to "
+                            "fixup-primary dispatch", size,
+                            np.round(frac, 2).tolist())
+            _PESSIMIST[size] = True
 
     redo = ovf.any(axis=1)
     if spread.shape[1] == n_lv:
@@ -495,21 +553,32 @@ def decode_latents(
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
     paths = _path_get(size)
+    pess = _pessimist_get(size)     # fixup-primary when optimism lost
     all_stats = []
     all_flags = []
     for ci, sz in enumerate(sizes):
         wa_c = wa[ci * fb:ci * fb + sz]
-        chunk, stats, flags = fn(params_c, wa_c, feats_c, size=size,
-                                 blur_kernel=blur_kernel,
-                                 warp_disp=disp, with_stats=True,
-                                 fixup=False, warp_path=paths,
-                                 use_warp_kernel=use_warp_kernel)
+        if pess:
+            chunk, stats = fn(params_c, wa_c, feats_c, size=size,
+                              blur_kernel=blur_kernel,
+                              warp_disp=disp, with_stats=True,
+                              use_warp_kernel=use_warp_kernel)
+        else:
+            chunk, stats, flags = fn(params_c, wa_c, feats_c, size=size,
+                                     blur_kernel=blur_kernel,
+                                     warp_disp=disp, with_stats=True,
+                                     fixup=False, warp_path=paths,
+                                     use_warp_kernel=use_warp_kernel)
+            all_flags.append(flags)
         chunks.append(chunk)
         all_stats.append(stats)
-        all_flags.append(flags)
         if frame_callback is not None:
             frame_callback(ci, n_chunks)
-    redo = _sync_stats_flags(size, all_stats, all_flags, paths)
+    if pess:
+        _pessimist_fold(size, all_stats)
+        redo = []
+    else:
+        redo = _sync_stats_flags(size, all_stats, all_flags, paths)
     if redo:
         # rare: flows exceeded the ratcheted D this clip (the ratchet just
         # grew for the next one).  First occurrence per process compiles
@@ -559,21 +628,29 @@ def decode_latents_to_host(
     fn = chunk_fn or _decode_chunk
     disp = _ratchet_get(size)
     paths = _path_get(size)
-    all_stats = []
+    pess = _pessimist_get(size)     # fixup-primary when optimism lost:
+    all_stats = []                  # no redo means no RE-TRANSFER either
     all_flags = []
     for ci, sz in enumerate(sizes):
         wa_c = wa[ci * fb:ci * fb + sz]
         # optimistic fixup-free program; flags + stats folded post-loop
         # in one sync (see decode_latents)
-        dev, stats, flags = fn(params_c, wa_c, feats_c, size=size,
-                               out_u8=uint8_transfer,
-                               blur_kernel=blur_kernel,
-                               warp_disp=disp, with_stats=True,
-                               fixup=False, warp_path=paths,
-                               use_warp_kernel=use_warp_kernel)
+        if pess:
+            dev, stats = fn(params_c, wa_c, feats_c, size=size,
+                            out_u8=uint8_transfer,
+                            blur_kernel=blur_kernel,
+                            warp_disp=disp, with_stats=True,
+                            use_warp_kernel=use_warp_kernel)
+        else:
+            dev, stats, flags = fn(params_c, wa_c, feats_c, size=size,
+                                   out_u8=uint8_transfer,
+                                   blur_kernel=blur_kernel,
+                                   warp_disp=disp, with_stats=True,
+                                   fixup=False, warp_path=paths,
+                                   use_warp_kernel=use_warp_kernel)
+            all_flags.append(flags)
         pending.append((ci, dev))
         all_stats.append(stats)
-        all_flags.append(flags)
         # keep one chunk in flight: materialize the previous one while the
         # current computes
         if len(pending) > 1:
@@ -588,6 +665,9 @@ def decode_latents_to_host(
         _drain(item, out, fb, t_frames, uint8_transfer)
         if frame_callback is not None:
             frame_callback(item[0], n_chunks)
+    if pess:
+        _pessimist_fold(size, all_stats)
+        return out
     # overflowed chunks: re-decode with the fixup program and re-drain
     redo = _sync_stats_flags(size, all_stats, all_flags, paths)
     if redo:
@@ -761,21 +841,31 @@ def decode_clips_to_host(
     chunk_keys = []                 # (clip_idx, chunk_idx) per dispatch
     n_emitted = 0
     paths = _path_get(size)
+    pess = _pessimist_get(size)     # fixup-primary when optimism lost
     for k in range(len(clips)):
         wa, feats_c = _prep(k)
         _t, sizes = metas[k]
         for ci, sz in enumerate(sizes):
-            dev, stats, flags = fn(params_c, wa[ci * fb:ci * fb + sz],
-                                   feats_c, size=size,
-                                   out_u8=uint8_transfer,
-                                   blur_kernel=blur_kernel, warp_disp=disp,
-                                   with_stats=True, fixup=False,
-                                   warp_path=paths,
-                                   use_warp_kernel=use_warp_kernel)
+            if pess:
+                dev, stats = fn(params_c, wa[ci * fb:ci * fb + sz],
+                                feats_c, size=size,
+                                out_u8=uint8_transfer,
+                                blur_kernel=blur_kernel, warp_disp=disp,
+                                with_stats=True,
+                                use_warp_kernel=use_warp_kernel)
+            else:
+                dev, stats, flags = fn(params_c, wa[ci * fb:ci * fb + sz],
+                                       feats_c, size=size,
+                                       out_u8=uint8_transfer,
+                                       blur_kernel=blur_kernel,
+                                       warp_disp=disp,
+                                       with_stats=True, fixup=False,
+                                       warp_path=paths,
+                                       use_warp_kernel=use_warp_kernel)
+                all_flags.append(flags)
             pending.append((k, ci, dev))
             chunk_keys.append((k, ci))
             all_stats.append(stats)
-            all_flags.append(flags)
             if len(pending) > 1:
                 kk, cc, dv = pending.pop(0)
                 _drain((cc, dv), outs[kk], fb, metas[kk][0], uint8_transfer)
@@ -788,6 +878,9 @@ def decode_clips_to_host(
         n_emitted += 1
         if frame_callback is not None:
             frame_callback(n_emitted - 1, total_chunks)
+    if pess:
+        _pessimist_fold(size, all_stats)
+        return outs
     redo = _sync_stats_flags(size, all_stats, all_flags, paths)
     if redo:
         logger.info("re-decoding %d/%d chunks with the beyond-D fixup "

@@ -661,18 +661,23 @@ def test_path_fold_ignores_no_information():
     real kernel observations pinned to their current selection."""
     from float_tpu.runtime import decode as RD
 
-    RD._PATH_RATCHET.pop(64, None)
+    RD._PATH_RATCHET.pop(512, None)                # 512² has 3 levels
     try:
-        got = RD._path_fold(64, np.asarray([-1, -1, -1]))
+        got = RD._path_fold(512, np.asarray([-1, -1, -1]))
         assert got == ("auto", "auto", "auto")
-        assert 64 not in RD._PATH_RATCHET          # no entry created
+        assert 512 not in RD._PATH_RATCHET         # no entry created
+        # a spread vector whose length mismatches the size's level count
+        # is ignored too (it would poison the warp-profile roundtrip)
+        got = RD._path_fold(512, np.asarray([2]))
+        assert got == ("auto", "auto", "auto")
+        assert 512 not in RD._PATH_RATCHET
         # first REAL observation still selects per level (-1 level stays
         # auto: a non-v2 level never reports a spread)
-        got = RD._path_fold(64, np.asarray([2, -1, 4]))
+        got = RD._path_fold(512, np.asarray([2, -1, 4]))
         assert got == ("fast4", "auto", "fast6")
-        assert RD._PATH_RATCHET[64] == got
+        assert RD._PATH_RATCHET[512] == got
         # later no-information folds keep the selection
-        got = RD._path_fold(64, np.asarray([-1, -1, -1]))
+        got = RD._path_fold(512, np.asarray([-1, -1, -1]))
         assert got == ("fast4", "auto", "fast6")
     finally:
-        RD._PATH_RATCHET.pop(64, None)
+        RD._PATH_RATCHET.pop(512, None)

@@ -178,6 +178,69 @@ def test_optimistic_redecode_splice():
     assert (vals[24:] % 10 == 1).all()
     # exactly one fixup call, for chunk 2
     assert [c for c in calls if c[1]] == [(2, True)]
+    # the fake probe's 1-entry stats/spread must NOT create ratchet
+    # entries for size 4 (0 kernel levels): a recorded mismatched entry
+    # poisons the warp-profile save->load roundtrip (seed_paths validates
+    # lengths) for every later caller in the process
+    assert 4 not in D._DISP_RATCHET and 4 not in D._PATH_RATCHET
+
+
+def test_pessimist_switch_on_pinned_cap_overflow():
+    """When a level keeps overflowing while its D ratchet is PINNED at
+    the compile-proven cap, the next clips dispatch the fixup program as
+    PRIMARY (one pass, no redo); the switch clears when a clip's probe
+    stats fit the ratchet again."""
+    calls = []
+    mode = {"stats": 7}
+
+    def fake_fn(params, wa_c, feats, size, out_u8=False,
+                channels_last=True, blur_kernel=(1, 3, 3, 1),
+                warp_disp=2, with_stats=False, fixup=True,
+                warp_path="auto", use_warp_kernel=True):
+        calls.append(fixup)
+        img = jnp.zeros((wa_c.shape[0], 4, 4, 3), jnp.float32)
+        stats = jnp.asarray([mode["stats"]])
+        flags = jnp.asarray([1, 2])          # always beyond-D
+        if with_stats and not fixup:
+            return img, stats, flags
+        return (img, stats) if with_stats else img
+
+    old_d = dict(D._DISP_RATCHET)
+    old_p = dict(D._PESSIMIST)
+    try:
+        D._DISP_RATCHET[128] = (7,)          # pinned at the 128² cap
+        D._PESSIMIST.pop(128, None)
+        D._PATH_RATCHET.pop(128, None)
+        r_d = jnp.zeros((16, 1))
+
+        def clip():
+            return D.decode_latents({}, jnp.zeros((1, 1)), [], r_d,
+                                    size=128, decode_batch=8,
+                                    chunk_fn=fake_fn)
+
+        # clip 1: optimistic, every chunk flagged at the cap -> redo both
+        # chunks AND flip the pessimist switch
+        clip()
+        assert calls == [False, False, True, True]
+        assert D._pessimist_get(128)
+        # clip 2: fixup-primary single pass; stats still at the cap so
+        # the switch stays on
+        calls.clear()
+        clip()
+        assert calls == [True, True]
+        assert D._pessimist_get(128)
+        # clip 3: flows calm down -> fold clears the switch
+        mode["stats"] = 2
+        calls.clear()
+        clip()
+        assert calls == [True, True]
+        assert not D._pessimist_get(128)
+    finally:
+        D._DISP_RATCHET.clear()
+        D._DISP_RATCHET.update(old_d)
+        D._PESSIMIST.clear()
+        D._PESSIMIST.update(old_p)
+        D._PATH_RATCHET.pop(128, None)
 
 
 def test_optimistic_redecode_to_host():
