@@ -227,6 +227,22 @@ def stream_main():
     ttfc_host = sorted(ttfc)[1]
     total = sorted(totals)[1]
     device_side = max(0.0, ttfc_host - wire)
+
+    # sustained drain on the 4:2:0 wire (the jpeg-delivery hop: HALF the
+    # uint8 bytes through the host link, ops/yuv420.py) — on the ~17 MB/s
+    # dev tunnel this is what bounds delivered fps
+    yuv_totals = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        n = 0
+        for _s, f in pipe.generate_stream(img, wave, emotion="none",
+                                          seed=15, first_chunk=first,
+                                          wire="yuv420"):
+            n += f.shape[0]
+        yuv_totals.append(time.perf_counter() - t0)
+        assert n == t_frames
+    yuv_total = min(yuv_totals)
+
     result = {
         "metric": "stream_first_chunk_latency_512px",
         "value": round(device_side, 3),
@@ -236,11 +252,13 @@ def stream_main():
         "wire_chunk_s": round(wire, 3),
         "first_chunk_frames": first,
         "sustained_fps_host_wire_bound": round(t_frames / total, 1),
+        "sustained_fps_yuv420_wire": round(t_frames / yuv_total, 1),
     }
     print(json.dumps(result))
     print(f"# host TTFC {ttfc_host:.3f}s = device {device_side:.3f}s + "
           f"wire {wire:.3f}s ({first} frames uint8); full-drain "
-          f"{total:.2f}s for {t_frames} frames (tunnel-bound), "
+          f"{total:.2f}s for {t_frames} frames (tunnel-bound); "
+          f"yuv420-wire drain {yuv_total:.2f}s, "
           f"device={jax.devices()[0]}", file=sys.stderr)
 
 

@@ -258,7 +258,7 @@ def cmd_serve(args):
           models_root=args.models_root,
           advanced_float_options=(json.loads(args.adv_options)
                                   if args.adv_options else None),
-          mesh_spec=args.mesh)
+          mesh_spec=args.mesh, aot_dir=args.aot_dir, warm=args.warm)
 
 
 def main(argv=None):
@@ -331,6 +331,15 @@ def main(argv=None):
     s.add_argument("--mesh", metavar="data=D,model=M",
                    help="serve over a device mesh (DP batch sharding, "
                         "Megatron TP, frame-parallel decode)")
+    s.add_argument("--aot-dir", default="auto",
+                   help="cross-process AOT executable cache directory "
+                        "(default: .aot_cache beside the checkpoint; "
+                        "'' disables) — restarted daemons skip the "
+                        "multi-minute compile stack")
+    s.add_argument("--warm", action="store_true",
+                   help="compile/load the headline programs BEFORE "
+                        "binding the port, so the first request never "
+                        "pays compile latency")
     s.set_defaults(func=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -32,6 +32,24 @@ def _b64(payload) -> str:
     return payload          # already base64
 
 
+def _jpeg_to_rgb(b64_jpeg: str) -> np.ndarray:
+    """One base64 JPEG -> (H, W, 3) uint8 RGB."""
+    import cv2
+    buf = np.frombuffer(base64.b64decode(b64_jpeg), np.uint8)
+    bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise ValueError("bad jpeg frame in stream")
+    return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+
+def _decode_chunk_msg(msg: Dict[str, Any]) -> np.ndarray:
+    """NDJSON chunk message -> (k, S, S, 3) uint8, either encoding."""
+    if msg.get("encoding") == "jpeg":
+        return np.stack([_jpeg_to_rgb(f) for f in msg["frames"]])
+    return np.frombuffer(base64.b64decode(msg["data"]),
+                         dtype=msg["dtype"]).reshape(msg["shape"])
+
+
 class FloatClient:
     def __init__(self, base_url: str = "http://127.0.0.1:8472",
                  timeout: float = 600.0):
@@ -68,27 +86,37 @@ class FloatClient:
     def stream(self, image, audio, **params
                ) -> Iterator[Tuple[int, np.ndarray]]:
         """Streaming generation: yields (start_frame, uint8 (k, S, S, 3))
-        chunks as the server decodes them."""
+        chunks as the server decodes them.  Pass ``encoding="jpeg"``
+        (optionally ``quality=85``) for compressed delivery — ~25x fewer
+        wire bytes at 512², so playback-rate streaming works on ordinary
+        links; frames decode back to the same uint8 layout here."""
         body = dict(params, image=_b64(image), audio=_b64(audio),
                     stream=True)
         with self._post("/v1/generate", body) as r:
             for line in r:
                 msg = json.loads(line)
-                arr = np.frombuffer(base64.b64decode(msg["data"]),
-                                    dtype=msg["dtype"]).reshape(msg["shape"])
-                yield msg["start"], arr
+                yield msg["start"], _decode_chunk_msg(msg)
 
     def generate_batch(self, clips, **params):
         """Batched clips -> [{"video": mp4 bytes, "frames": n}, ...].
         ``clips``: list of {"image", "audio", optional "seed"} with the
-        same payload types generate() accepts."""
+        same payload types generate() accepts.  With ``encoding="jpeg"``
+        each result is {"frames": n, "images": (n, S, S, 3) uint8}
+        (decoded per-frame JPEGs) instead of an mp4."""
         body = dict(params, clips=[
             dict(c, image=_b64(c["image"]), audio=_b64(c["audio"]))
             for c in clips])
         with self._post("/v1/generate_batch", body) as r:
             out = json.loads(r.read())
-        return [{"video": base64.b64decode(c["video"]),
-                 "frames": c["frames"]} for c in out["clips"]]
+        res = []
+        for c in out["clips"]:
+            if c.get("encoding") == "jpeg":
+                res.append({"frames": c["frames"], "images": np.stack(
+                    [_jpeg_to_rgb(f) for f in c["jpeg_frames"]])})
+            else:
+                res.append({"video": base64.b64decode(c["video"]),
+                            "frames": c["frames"]})
+        return res
 
     def run_graph(self, workflow, inputs: Optional[Dict[str, Any]] = None,
                   overrides: Optional[Dict[str, Any]] = None,

@@ -14,20 +14,30 @@ Endpoints (JSON in, JSON or binary out):
 - ``POST /v1/generate`` body
   {"image": <b64 npy|png|jpg>, "audio": <b64 npy|wav>, "emotion",
    "a_cfg_scale", "e_cfg_scale", "fps", "seed", "face_align",
-   "stream": false, "first_chunk": 8, "format": "mp4"|"ndjson"}
+   "stream": false, "first_chunk": 8, "format": "mp4"|"ndjson",
+   "encoding": "raw"|"jpeg", "quality": 85}
   -> video/mp4 bytes (audio muxed when ffmpeg is present), or with
   ``stream: true`` an ``application/x-ndjson`` response where each line is
   {"start": f, "shape": [k,S,S,3], "dtype": "uint8", "data": <b64>} —
   chunks leave the server as soon as the device decodes them (the
   pipeline's generate_stream interleaves sampling and decode;
   ``first_chunk`` ramps the first chunk small for low first-frame
-  latency).
+  latency).  With ``"encoding": "jpeg"`` each line is instead
+  {"start": f, "shape": [k,S,S,3], "encoding": "jpeg",
+  "frames": [<b64 jpeg>, ...]} — ~40 KB/frame at 512² instead of
+  ~1 MB raw-b64, so streamed delivery sustains real-time playback on
+  ordinary links (raw needs ~26 MB/s for 25 fps); the device->host hop
+  also drops to a 4:2:0 wire (half the uint8 bytes, ops/yuv420.py —
+  zero extra loss: JPEG subsamples the same chroma).
 - ``POST /v1/generate_batch`` body {"clips": [{"image", "audio",
   "seed"?}, ...], ...shared params} -> {"clips": [{"video": <b64 mp4>,
   "frames"}, ...]} — clips grouped by audio length; each group runs the
   data-parallel generate_batch path (one batched encode/sample, one
   decode dispatch stream; shards over the mesh ``data`` axis when the
-  pipeline was built with one).
+  pipeline was built with one).  ``"encoding": "jpeg"`` (+ "quality")
+  returns per-frame JPEGs instead of mp4: {"clips": [{"frames": n,
+  "encoding": "jpeg", "jpeg_frames": [<b64>, ...]}, ...]} — for clients
+  that want exact frame access without a video decoder.
 - ``POST /v1/graph`` body {"workflow": <ComfyUI graph JSON>,
   "overrides": {...}, "inputs": {"name.ext": <b64>}} -> {"artifacts":
   {name: <b64>}} — executes a reference ComfyUI workflow server-side
@@ -112,9 +122,17 @@ class _StreamBuffer:
 
     def put(self, line: bytes) -> None:
         with self._cv:
+            # the stall deadline measures CONSUMER progress, not total wait:
+            # a slow-but-draining reader extends it every time bytes leave
+            # the buffer (the documented contract is "accepts no data for
+            # stall_timeout while the buffer is full")
             deadline = time.monotonic() + self.stall_timeout
+            last_bytes = self._bytes
             while (self._bytes + len(line) > self.budget and self._bytes > 0
                    and not self._cancelled):
+                if self._bytes < last_bytes:
+                    deadline = time.monotonic() + self.stall_timeout
+                last_bytes = self._bytes
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     raise _ReaderStalled()
@@ -178,6 +196,54 @@ class _LatencyWindow:
 
         return {"count": len(vals), "p50": pct(50), "p95": pct(95),
                 "p99": pct(99), "max": round(vals[-1], 4)}
+
+
+# JPEG frame encoding (the compressed stream/batch delivery path).
+# cv2.imencode releases the GIL, so a small shared pool encodes a chunk's
+# frames in parallel — at 512²/q85 one frame is ~2-4 ms single-thread,
+# which would cap delivery ~250-500 fps; the pool keeps host encode far
+# ahead of any wire.
+_JPEG_POOL = None
+_JPEG_POOL_LOCK = threading.Lock()
+
+
+def _jpeg_pool():
+    global _JPEG_POOL
+    with _JPEG_POOL_LOCK:
+        if _JPEG_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _JPEG_POOL = ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 4),
+                thread_name_prefix="float-jpeg")
+        return _JPEG_POOL
+
+
+def _jpeg_encode_frames(u8_frames: np.ndarray, quality: int) -> list:
+    """(k, H, W, 3) uint8 RGB -> list of base64 JPEG strings."""
+    import cv2
+    flags = [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)]
+
+    def enc(f):
+        ok, buf = cv2.imencode(".jpg", cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
+                               flags)
+        if not ok:
+            raise RuntimeError("jpeg encode failed")
+        return base64.b64encode(buf.tobytes()).decode()
+
+    return list(_jpeg_pool().map(enc, u8_frames))
+
+
+def _check_encoding(req) -> tuple:
+    """Validate (encoding, quality) from a request -> ValueError (HTTP
+    400) on junk, BEFORE any 200/stream headers go out."""
+    encoding = req.get("encoding", "raw")
+    if encoding not in ("raw", "jpeg"):
+        raise ValueError(f"unknown encoding {encoding!r} "
+                         "(expected 'raw' or 'jpeg')")
+    quality = int(req.get("quality", 85))
+    if not 1 <= quality <= 100:
+        raise ValueError(f"jpeg quality {quality} out of range [1, 100]")
+    return encoding, quality
 
 
 def _b64_to_array(data: str, kind: str) -> np.ndarray:
@@ -355,6 +421,11 @@ class FloatServer:
         stalled one aborts its own generation after ``stream_stall_timeout``
         and frees the chip."""
         model_in, wave_n, cfg = self._prep_stream_inputs(req)
+        encoding, quality = _check_encoding(req)
+        # jpeg delivery rides a 4:2:0 device->host wire (half the uint8
+        # bytes; JPEG subsamples the same chroma so nothing extra is
+        # lost); raw rides uint8 RGB straight through (no f32 round-trip)
+        wire = "yuv420" if encoding == "jpeg" else "u8"
         self._slot_acquire()
         buf = _StreamBuffer(self.stream_buffer_bytes,
                             self.stream_stall_timeout)
@@ -374,16 +445,25 @@ class FloatServer:
                                 a_cfg_scale=float(req.get("a_cfg_scale", 2.0)),
                                 e_cfg_scale=float(req.get("e_cfg_scale", 1.0)),
                                 fps=cfg.fps,
-                                first_chunk=int(req.get("first_chunk", 8))):
-                            u8 = np.clip(np.asarray(frames) * 255.0 + 0.5,
-                                         0, 255).astype(np.uint8)
-                            line = (json.dumps(
-                                {"start": int(start), "shape": list(u8.shape),
-                                 "dtype": "uint8",
-                                 "data": base64.b64encode(
-                                     u8.tobytes()).decode()}) + "\n").encode()
-                            buf.put(line)
-                            n_frames += frames.shape[0]
+                                first_chunk=int(req.get("first_chunk", 8)),
+                                wire=wire):
+                            if encoding == "jpeg":
+                                from .ops.yuv420 import i420_to_rgb_u8
+                                u8 = i420_to_rgb_u8(frames)
+                                msg = {"start": int(start),
+                                       "shape": list(u8.shape),
+                                       "encoding": "jpeg",
+                                       "frames": _jpeg_encode_frames(
+                                           u8, quality)}
+                            else:
+                                u8 = np.asarray(frames)   # uint8 RGB wire
+                                msg = {"start": int(start),
+                                       "shape": list(u8.shape),
+                                       "dtype": "uint8",
+                                       "data": base64.b64encode(
+                                           u8.tobytes()).decode()}
+                            buf.put((json.dumps(msg) + "\n").encode())
+                            n_frames += u8.shape[0]
                     finally:
                         busy = time.perf_counter() - t_dev
                 buf.close()
@@ -424,6 +504,7 @@ class FloatServer:
         clips = req["clips"]
         if not clips:
             raise ValueError("clips must be a non-empty list")
+        encoding, quality = _check_encoding(req)
         cfg = self.pipe.cfg.replace(fps=float(req.get("fps", 25.0)))
         imgs, waves, seeds = [], [], []
         for i, c in enumerate(clips):
@@ -451,13 +532,32 @@ class FloatServer:
 
         results = []
         for idx, (wave, frames) in enumerate(zip(waves, outs)):
-            path = os.path.join(self.output_dir, f"clip{idx}.mp4")
-            write_video(path, frames, cfg.fps, audio=wave,
-                        sample_rate=16000)
-            with open(path, "rb") as f:
+            if encoding == "jpeg":
+                u8 = np.clip(np.asarray(frames) * 255.0 + 0.5,
+                             0, 255).astype(np.uint8)
                 results.append({
-                    "video": base64.b64encode(f.read()).decode(),
+                    "encoding": "jpeg",
+                    "jpeg_frames": _jpeg_encode_frames(u8, quality),
                     "frames": int(frames.shape[0])})
+                continue
+            # unique per-request name: mp4 encode runs OUTSIDE the lock, so
+            # two overlapping batch requests must not clobber each other's
+            # clip files (same hazard handle_generate was fixed for); the
+            # mp4 + no-ffmpeg .wav sidecar are deleted once read back
+            path = os.path.join(
+                self.output_dir,
+                f"clip{idx}-{threading.get_ident()}-{time.monotonic_ns()}.mp4")
+            try:
+                write_video(path, frames, cfg.fps, audio=wave,
+                            sample_rate=16000)
+                with open(path, "rb") as f:
+                    results.append({
+                        "video": base64.b64encode(f.read()).decode(),
+                        "frames": int(frames.shape[0])})
+            finally:
+                for p in (path, path[:-4] + ".wav"):
+                    if os.path.exists(p):
+                        os.unlink(p)
         return {"clips": results}
 
     def handle_graph(self, req: Dict[str, Any]) -> Dict[str, Any]:
@@ -612,9 +712,18 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 8472,
 def serve(checkpoint: str, host: str = "127.0.0.1", port: int = 8472,
           allow_synthetic: bool = False, models_root: str = "models",
           advanced_float_options: Optional[dict] = None,
-          mesh_spec: Optional[str] = None):
-    """Load the pipeline, warm nothing (first request compiles), serve
-    forever.  The reference equivalent is running ComfyUI as a server.
+          mesh_spec: Optional[str] = None,
+          aot_dir: Optional[str] = "auto", warm: bool = False):
+    """Load the pipeline and serve forever.  The reference equivalent is
+    running ComfyUI as a server.
+
+    ``aot_dir`` (default "auto" = ``.aot_cache`` beside the checkpoint;
+    "" disables) wires the cross-process AOT executable cache into the
+    daemon: a restarted process reloads its compiled programs from disk
+    instead of paying the multi-minute compile stack on the first
+    request.  ``warm=True`` additionally compiles/loads the headline
+    programs BEFORE binding the port (FloatPipeline.warmup), so even a
+    cold cache never surfaces as first-request latency.
 
     ``mesh_spec`` ("data=2,model=4", either axis optional) builds the
     pipeline over a device mesh: generate_batch shards clips over the
@@ -623,7 +732,8 @@ def serve(checkpoint: str, host: str = "127.0.0.1", port: int = 8472,
     from .api.nodes import load_float_models
     pipe = load_float_models(checkpoint, models_root=models_root,
                              advanced_float_options=advanced_float_options,
-                             allow_synthetic=allow_synthetic)
+                             allow_synthetic=allow_synthetic,
+                             aot_dir=aot_dir or None)
     if mesh_spec:
         from .parallel.mesh import make_mesh
         from .runtime.pipeline import FloatPipeline
@@ -634,6 +744,11 @@ def serve(checkpoint: str, host: str = "127.0.0.1", port: int = 8472,
         pipe.pipeline = FloatPipeline(pl.params, pl.cfg, pl.w2v_cfg,
                                       pl.ser_cfg, mesh=mesh)
         logger.info("mesh mode: %s", dict(mesh.shape))
+    if warm:
+        logger.info("warming headline programs before binding the port...")
+        dt = pipe.pipeline.warmup()
+        logger.info("warmup done in %.1fs", dt)
+        print(f"warmup done in {dt:.1f}s")
     httpd = make_server(pipe, host, port)
     logger.info("serving on http://%s:%d (weights=%s)", host,
                 httpd.server_address[1], pipe.weights)

@@ -100,6 +100,66 @@ def test_composite_frames_matches_per_frame_loop():
             np.testing.assert_array_equal(got3, ref2)
 
 
+def test_composite_mixed_scale_per_frame_bg():
+    """A per-frame background stack with MIXED scales (one near-black
+    frame among [0,255] frames) normalizes per frame, exactly like the
+    composite_face loop (ADVICE r4: the hoisted stack-wide max() decided
+    once for all frames)."""
+    rng = np.random.default_rng(7)
+    bg = (rng.random((3, 40, 40, 3)) * 255).astype(np.float32)
+    bg[1] = rng.random((40, 40, 3)).astype(np.float32)   # already [0,1]
+    frames = rng.random((3, 16, 16, 3)).astype(np.float32)
+    got = composite_face_frames(bg, frames, (8, 8, 12, 12))
+    ref = np.stack([composite_face(bg[i], frames[i], (8, 8, 12, 12))
+                    for i in range(3)])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_composite_faces_stream_matches_stacked_path():
+    """The streaming two-face compositor (per-frame uint8 generator,
+    never holding the (T,H,W,3) f32 stack) is byte-identical to the
+    stacked path (composite per face, then quantize) — static and
+    per-frame backgrounds, with and without feather, incl. a
+    partially-out-of-bounds bbox."""
+    from float_tpu.image.composite import composite_faces_stream
+    rng = np.random.default_rng(11)
+    bg = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    f1 = rng.random((4, 16, 16, 3)).astype(np.float32)
+    f2 = rng.random((4, 16, 16, 3)).astype(np.float32)
+    for feather in (0, 3):
+        for bbox2 in ((30, 5, 10, 10), (-4, 40, 12, 12)):
+            faces = [(f1, (6, 8, 12, 12)), (f2, bbox2)]
+            stacked = composite_face_frames(bg, f1, faces[0][1], feather)
+            stacked = composite_face_frames(stacked, f2, bbox2, feather,
+                                            inplace=True)
+            ref = (np.clip(stacked, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+            got = np.stack(list(composite_faces_stream(bg, faces, feather)))
+            np.testing.assert_array_equal(got, ref)
+    # per-frame backgrounds
+    bg_t = (rng.random((4, 48, 56, 3)) * 255).astype(np.float32)
+    faces = [(f1, (6, 8, 12, 12)), (f2, (30, 5, 10, 10))]
+    stacked = composite_face_frames(bg_t, f1, faces[0][1])
+    stacked = composite_face_frames(stacked, f2, faces[1][1], inplace=True)
+    ref = (np.clip(stacked, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    got = np.stack(list(composite_faces_stream(bg_t, faces)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_composite_faces_stream_feeds_video_writer(tmp_path):
+    """write_video consumes the streaming compositor directly (chunked
+    iterator input) — the config-5 sink path."""
+    from float_tpu.image.composite import composite_faces_stream
+    from float_tpu.io.video import write_video
+    rng = np.random.default_rng(2)
+    bg = (rng.random((32, 40, 3)) * 255).astype(np.uint8)
+    f1 = rng.random((5, 16, 16, 3)).astype(np.float32)
+    out = str(tmp_path / "insert.mp4")
+    write_video(out, composite_faces_stream(bg, [(f1, (4, 4, 12, 12))]),
+                fps=25.0)
+    import os
+    assert os.path.getsize(out) > 500
+
+
 def test_composite_clips_out_of_bounds():
     bg = np.zeros((32, 32, 3), np.float32)
     face = np.ones((8, 8, 3), np.float32)

@@ -173,6 +173,65 @@ def test_generate_batch_groups_by_length(server):
     assert all(len(o["video"]) > 1000 for o in out)
 
 
+def test_stream_jpeg_encoding_roundtrip(server, payload):
+    """encoding="jpeg" delivers the same frames (JPEG+4:2:0 tolerance)
+    in far fewer wire bytes than raw; starts/counts identical."""
+    raw_lines, jpg_lines = [], []
+    with _post(server + "/v1/generate", dict(payload, stream=True)) as r:
+        for line in r:
+            raw_lines.append(line)
+    with _post(server + "/v1/generate",
+               dict(payload, stream=True, encoding="jpeg",
+                    quality=92)) as r:
+        for line in r:
+            jpg_lines.append(line)
+    assert len(raw_lines) == len(jpg_lines)
+    from float_tpu.client import _decode_chunk_msg
+    raw_frames, jpg_frames = [], []
+    for rl, jl in zip(raw_lines, jpg_lines):
+        rm, jm = json.loads(rl), json.loads(jl)
+        assert rm["start"] == jm["start"] and rm["shape"] == jm["shape"]
+        assert jm["encoding"] == "jpeg" and len(jm["frames"]) == jm["shape"][0]
+        raw_frames.append(_decode_chunk_msg(rm))
+        jpg_frames.append(_decode_chunk_msg(jm))
+    raw = np.concatenate(raw_frames, axis=0)
+    jpg = np.concatenate(jpg_frames, axis=0)
+    assert raw.shape == jpg.shape == (25, 64, 64, 3)
+    err = np.abs(raw.astype(np.float32) - jpg.astype(np.float32))
+    assert err.mean() <= 12.0, err.mean()     # JPEG q92 + 4:2:0 tolerance
+    # the whole point: massively fewer bytes on the wire
+    assert sum(map(len, jpg_lines)) < 0.5 * sum(map(len, raw_lines))
+
+
+def test_stream_bad_encoding_is_400(server, payload):
+    try:
+        _post(server + "/v1/generate",
+              dict(payload, stream=True, encoding="webp"))
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "encoding" in json.loads(e.read())["error"]
+
+
+def test_batch_jpeg_encoding(server, payload):
+    """generate_batch with encoding="jpeg" returns decodable per-frame
+    JPEGs matching the raw stream's frames for the same seed."""
+    from float_tpu.client import FloatClient, _decode_chunk_msg
+    c = FloatClient(server)
+    out = c.generate_batch(
+        [{"image": payload["image"], "audio": payload["audio"],
+          "seed": payload["seed"]}], encoding="jpeg", quality=92)
+    assert out[0]["frames"] == 25
+    imgs = out[0]["images"]
+    assert imgs.shape == (25, 64, 64, 3) and imgs.dtype == np.uint8
+    chunks = []
+    with _post(server + "/v1/generate", dict(payload, stream=True)) as r:
+        for line in r:
+            chunks.append(_decode_chunk_msg(json.loads(line)))
+    raw = np.concatenate(chunks, axis=0)
+    err = np.abs(raw.astype(np.float32) - imgs.astype(np.float32))
+    assert err.mean() <= 12.0, err.mean()
+
+
 def test_metrics_counts_generated_frames(server, payload):
     """Runs after the generate tests (module-scoped server): counters
     reflect the frames produced and busy time accrued."""
@@ -283,6 +342,90 @@ def test_stalled_reader_aborts_generation(fpipe, payload):
     # the chip is usable immediately: a full generate succeeds
     video, n = srv.handle_generate(payload)
     assert n == 25 and len(video) > 1000
+
+
+def test_concurrent_batch_requests_distinct_outputs(fpipe):
+    """Two overlapping /v1/generate_batch requests must not clobber each
+    other's clip files: the mp4 encode runs OUTSIDE the generation lock,
+    so fixed names raced (VERDICT r4 weak #1).  Each concurrent result
+    must match its serial reference byte-for-byte, and the shared
+    output_dir must be left empty (no leak)."""
+    import concurrent.futures as cf
+    import os
+    from float_tpu.serve import FloatServer
+
+    rng = np.random.default_rng(3)
+    img = _npy_b64(rng.random((64, 64, 3)).astype(np.float32))
+    aud = _npy_b64((rng.standard_normal(16000) * 0.1).astype(np.float32))
+
+    def req(seed):
+        return {"clips": [{"image": img, "audio": aud, "seed": seed},
+                          {"image": img, "audio": aud, "seed": seed + 1}]}
+
+    srv = FloatServer(fpipe, max_pending=4)
+    # serial references (deterministic writer: same frames -> same bytes)
+    ref_a = srv.handle_generate_batch(req(15))
+    ref_b = srv.handle_generate_batch(req(40))
+    with cf.ThreadPoolExecutor(2) as ex:
+        fut_a = ex.submit(srv.handle_generate_batch, req(15))
+        fut_b = ex.submit(srv.handle_generate_batch, req(40))
+        got_a, got_b = fut_a.result(), fut_b.result()
+    assert got_a == ref_a and got_b == ref_b
+    # distinct seeds produced distinct videos (the clobber symptom was
+    # one client receiving the other's clip)
+    assert got_a["clips"][0]["video"] != got_b["clips"][0]["video"]
+    assert os.listdir(srv.output_dir) == [], "clip files must be cleaned up"
+
+
+def test_stream_buffer_slow_reader_with_progress_not_aborted():
+    """The stall deadline measures consumer PROGRESS: a reader that keeps
+    draining — however slowly — is never aborted; only a reader that
+    accepts nothing for stall_timeout while the buffer is full is
+    (ADVICE r4: the deadline must reset when bytes leave the buffer)."""
+    import time
+    from float_tpu.serve import _StreamBuffer, _ReaderStalled
+
+    line = b"x" * 100
+    buf = _StreamBuffer(budget_bytes=150, stall_timeout=0.4)
+    errs = []
+
+    def producer():
+        try:
+            for _ in range(6):
+                buf.put(line)
+            buf.close()
+        except BaseException as exc:    # noqa: BLE001
+            errs.append(exc)
+            buf.close(exc)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    # drain one line every 0.3 s: each wait is under stall_timeout only
+    # because progress resets the deadline (total wall 1.5 s >> 0.4 s)
+    got = 0
+    it = iter(buf)
+    for _ in range(6):
+        next(it)
+        got += 1
+        time.sleep(0.3)
+    t.join(timeout=10)
+    assert not errs and got == 6
+
+    # control: a consumer that stops entirely trips the abort
+    buf2 = _StreamBuffer(budget_bytes=150, stall_timeout=0.4)
+    errs2 = []
+
+    def producer2():
+        try:
+            for _ in range(6):
+                buf2.put(line)
+        except BaseException as exc:    # noqa: BLE001
+            errs2.append(exc)
+
+    t2 = threading.Thread(target=producer2)
+    t2.start()
+    t2.join(timeout=10)
+    assert errs2 and isinstance(errs2[0], _ReaderStalled)
 
 
 def test_busy_saturation_raises(fpipe, payload):

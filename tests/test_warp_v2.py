@@ -243,6 +243,62 @@ def test_pessimist_switch_on_pinned_cap_overflow():
         D._PATH_RATCHET.pop(128, None)
 
 
+def test_pessimist_clears_after_k_exact_fit_clips():
+    """A flow regime whose needed D sits EXACTLY at the ratchet value
+    (cap or floor) never produces a strict fit; the switch must still
+    clear after _PESSIMIST_CLEAR_K consecutive fitting clips instead of
+    pinning fixup-primary dispatch forever (ADVICE r4).  A non-fitting
+    clip in between resets the streak."""
+    stats_seq = {"v": 7}
+
+    def fake_fn(params, wa_c, feats, size, out_u8=False,
+                channels_last=True, blur_kernel=(1, 3, 3, 1),
+                warp_disp=2, with_stats=False, fixup=True,
+                warp_path="auto", use_warp_kernel=True):
+        img = jnp.zeros((wa_c.shape[0], 4, 4, 3), jnp.float32)
+        stats = jnp.asarray([stats_seq["v"]])
+        flags = jnp.asarray([1, 2])
+        if with_stats and not fixup:
+            return img, stats, flags
+        return (img, stats) if with_stats else img
+
+    old_d = dict(D._DISP_RATCHET)
+    old_p = dict(D._PESSIMIST)
+    try:
+        D._DISP_RATCHET[128] = (7,)          # pinned at the 128² cap
+        D._PESSIMIST[128] = True             # switch already tripped
+        D._PESSIMIST_FIT.pop(128, None)
+        D._PATH_RATCHET.pop(128, None)
+        r_d = jnp.zeros((16, 1))
+
+        def clip():
+            D.decode_latents({}, jnp.zeros((1, 1)), [], r_d,
+                             size=128, decode_batch=8, chunk_fn=fake_fn)
+
+        k = D._PESSIMIST_CLEAR_K
+        # k-1 exact-fit clips (m == D == cap): not yet cleared
+        for _ in range(k - 1):
+            clip()
+            assert D._pessimist_get(128)
+        # an over-cap clip resets the streak
+        stats_seq["v"] = 8
+        clip()
+        assert D._pessimist_get(128) and D._PESSIMIST_FIT.get(128, 0) == 0
+        # k consecutive exact fits clear it
+        stats_seq["v"] = 7
+        for i in range(k):
+            assert D._pessimist_get(128), f"cleared too early at {i}"
+            clip()
+        assert not D._pessimist_get(128)
+    finally:
+        D._DISP_RATCHET.clear()
+        D._DISP_RATCHET.update(old_d)
+        D._PESSIMIST.clear()
+        D._PESSIMIST.update(old_p)
+        D._PESSIMIST_FIT.pop(128, None)
+        D._PATH_RATCHET.pop(128, None)
+
+
 def test_optimistic_redecode_to_host():
     """decode_latents_to_host re-decodes flagged chunks with the fixup
     program and re-drains them into the host buffer — including the

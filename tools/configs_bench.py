@@ -152,11 +152,14 @@ print("RESULT " + json.dumps({
 """,
     5: COMMON + r"""
 # config 5: two-face reinsert — detector boxes -> aligned crops ->
-# generate both faces -> composite back frame-by-frame (host cv2).
-# Includes the uint8 host wire + compositing by nature (the output IS
-# host frames); the dev tunnel (~17 MB/s) dominates here — note it.
+# generate both faces -> STREAM-composite back per frame (host cv2,
+# image/composite.py composite_faces_stream: both faces pasted in one
+# pass, per-frame uint8 out, never materializing the (T,768,1024,3) f32
+# stack that dominated the r4 host cost).  Includes the uint8 host wire
+# by nature (the output IS host frames); the dev tunnel (~17 MB/s)
+# dominates here — note it.
 from float_tpu.image.face_align import face_align_crop
-from float_tpu.image.composite import composite_face_frames
+from float_tpu.image.composite import composite_faces_stream
 from float_tpu.runtime.pipeline import audio_num_frames as anf
 
 scene = (rng.random((768, 1024, 3)) * 255).astype(np.uint8)
@@ -169,7 +172,7 @@ wave = jnp.asarray(rng.standard_normal((1, 160000)).astype(np.float32) * 0.1)
 t = anf(160000, cfg)
 
 def run(seed):
-    out = scene.astype(np.float32) / 255.0
+    faces = []
     for idx in (1, 2):
         crop, bbox = face_align_crop(scene, cfg.input_size, index=idx,
                                      detector=det)
@@ -179,10 +182,17 @@ def run(seed):
         wa = pipe.encode_audio(wave, t)
         we = pipe.emotion_latent(wave, "none")
         r_d = pipe.sample(r_s, wa, we, seed=seed + idx)
-        frames = pipe.decode_to_host(s_r, feats, r_d)   # uint8 wire
-        out = composite_face_frames(out, frames, bbox,
-                                    inplace=out.ndim == 4)
-    return out
+        faces.append((pipe.decode_to_host(s_r, feats, r_d), bbox))
+    # per-frame uint8 sink (a video writer in the product path); the
+    # loop body's shape/finite checks replace the old stack asserts
+    n = 0
+    acc = 0.0
+    for fr in composite_faces_stream(scene, faces):
+        assert fr.shape == (768, 1024, 3) and fr.dtype == np.uint8
+        acc += float(fr[0, 0, 0])
+        n += 1
+    assert n == t, (n, t)
+    return acc
 
 # warm until the warp D/path ratchet stops moving: chaotic synthetic
 # flows walk it one bump per clip, each bump a kernel recompile that
@@ -198,13 +208,13 @@ for w in range(8):
 t0 = time.perf_counter()
 out = run(30)
 dt = time.perf_counter() - t0
-assert out.shape == (t, 768, 1024, 3) and np.isfinite(out).all()
+assert np.isfinite(out)
 print("RESULT " + json.dumps({
-    "config": 5, "desc": "two-face reinsert compositing",
+    "config": 5, "desc": "two-face reinsert compositing (streamed)",
     "frames": 2 * t, "seconds": round(dt, 3),
     "fps": round(2 * t / dt, 1),
     "note": "e2e wall incl. 2x uint8 host wire (~25 MB @ ~17 MB/s dev "
-            "tunnel) + cv2 compositing"}))
+            "tunnel) + streaming per-frame compositor (no f32 stack)"}))
 """,
 }
 
