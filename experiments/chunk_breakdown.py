@@ -61,7 +61,13 @@ def build_chunk(decode_batch: int = 24):
                                warp_disp=disp, with_stats=True, fixup=False,
                                warp_path=paths)
 
-    return chunk, wa_full, cfg
+    def hlo(wa_c):
+        """Optimized HLO text of the exact production chunk program."""
+        return D._decode_chunk.lower(
+            params_c, wa_c, feats_c, 512, warp_disp=disp, with_stats=True,
+            fixup=False, warp_path=paths).compile().as_text()
+
+    return chunk, hlo, wa_full, cfg
 
 
 def parse_trace(trace_dir):
@@ -82,7 +88,14 @@ def parse_trace(trace_dir):
     dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "tpu" in n}
     agg = defaultdict(float)
     full = defaultdict(float)
+    # (engine-kind, res) aggregation from the events' own metadata
+    # (hlo_category + long_name shapes) — ground truth per executed op,
+    # immune to the trace-name vs HLO-text numbering misalignment that
+    # misattributed the r5 first pass (VERDICT r4 weak #7)
+    kind_agg = defaultdict(lambda: [0.0, 0, 0.0, 0.0])  # ms, n, GB, GF
+    detail = defaultdict(lambda: [0.0, 0.0, 0.0, ""])
     total = 0.0
+    import re
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
@@ -92,14 +105,42 @@ def parse_trace(trace_dir):
         agg[base] += dur
         if base != "jit__chunk_core":        # parent lane double-counts
             full[name.split("(")[0]] += dur
+            args = e.get("args", {})
+            cat = args.get("hlo_category", base)
+            long = args.get("long_name", "")
+            m = re.match(r"%\S+ = \(?[a-z0-9]+\[([0-9,]*)\]", long)
+            res = 0
+            if m:
+                dims = [int(d) for d in m.group(1).split(",") if d]
+                res = dims[1] if len(dims) >= 3 else (dims + [0])[0]
+            gb = float(args.get("bytes_accessed", 0)) / 1e9
+            gf = float(args.get("model_flops", 0)) / 1e9
+            k = kind_agg[(cat, res)]
+            k[0] += dur; k[1] += 1; k[2] += gb; k[3] += gf
+            d = detail[name.split("(")[0]]
+            d[0] += dur; d[1] += gb; d[2] += gf
+            d[3] = f"{cat} @{res}"
         total += dur
     print(f"\n== device op classes ({os.path.basename(path)}) ==")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{ms:9.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {name}")
     print(f"{total:9.2f} ms  total device (traced, distorted)")
-    print("\n== top individual ops ==")
-    for name, ms in sorted(full.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{ms:9.2f} ms  {name}")
+
+    print("\n== (hlo_category, out-res) lanes — ms | n | GB | GF | "
+          "GB/s | TF/s ==")
+    for (cat, res), (ms, n, gb, gf) in sorted(
+            kind_agg.items(), key=lambda kv: -kv[1][0])[:25]:
+        bw = gb / (ms / 1e3) if ms else 0.0
+        tf = gf / (ms / 1e3) / 1e3 if ms else 0.0
+        print(f"{ms:9.2f} ms  n={n:4d}  {gb:7.2f} GB  {gf:8.1f} GF  "
+              f"{bw:7.1f} GB/s  {tf:6.2f} TF/s  {cat} @{res}")
+
+    print("\n== top individual ops (ms | GB | GF | category@res) ==")
+    for name, (ms, gb, gf, cat) in sorted(
+            detail.items(), key=lambda kv: -kv[1][0])[:25]:
+        bw = gb / (ms / 1e3) if ms else 0.0
+        print(f"{ms:9.2f} ms  {gb:6.2f} GB {bw:7.1f} GB/s  "
+              f"{gf:7.1f} GF  {name}  [{cat}]")
 
 
 def main():
@@ -109,7 +150,7 @@ def main():
     ap.add_argument("--decode-batch", type=int, default=24)
     args = ap.parse_args()
 
-    chunk, wa_full, cfg = build_chunk(args.decode_batch)
+    chunk, hlo, wa_full, cfg = build_chunk(args.decode_batch)
     fb = cfg.decode_batch
     navail = wa_full.shape[0] // fb          # full chunks in the clip
 

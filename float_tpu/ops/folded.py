@@ -45,6 +45,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .activations import leaky_relu, LRELU_SCALE
 from .equalized import equal_linear
@@ -108,26 +109,39 @@ def up_modconv_folded(x, style, weight, mod_weight, mod_bias,
 
     comp, pad0 = _composed_up_kernel(w0, blur_kernel)
     kk = comp.shape[2]
-    # phase-major stacking: out lane (a·2+p)·O + o
-    oy_all, ox_all, subs = [], [], []
+    # phase-major stacking: out lane (a·2+p)·O + o.  The scatter of
+    # comp's taps into the per-phase kernel is a FIXED linear map of
+    # comp, so it runs as ONE einsum against a constant 0/1 tensor —
+    # never as a chain of dynamic-update-slices (w0 is a runtime
+    # parameter, so XLA cannot constant-fold a .at[].set() build; the
+    # DUS chain measured ~15 ms/chunk serial on chip, PERF.md r5
+    # fusion-lane decomposition).
+    oy_all, ox_all = [], []
     for a in (0, 1):
         for bp in (0, 1):
             ty = [t for t in range(kk) if (a + t - pad0) % 2 == 0]
             tx = [t for t in range(kk) if (bp + t - pad0) % 2 == 0]
             oy_all.append([(a + t - pad0) // 2 for t in ty])
             ox_all.append([(bp + t - pad0) // 2 for t in tx])
-            subs.append(comp[:, :, ty][:, :, :, tx])
     lo_y = min(o[0] for o in oy_all)
     hi_y = max(o[-1] for o in oy_all)
     lo_x = min(o[0] for o in ox_all)
     hi_x = max(o[-1] for o in ox_all)
-    big = jnp.zeros((4, out_c, in_c, hi_y - lo_y + 1, hi_x - lo_x + 1),
-                    jnp.float32)
+    ny, nx = hi_y - lo_y + 1, hi_x - lo_x + 1
+    sc = np.zeros((4, kk, kk, ny, nx), np.float32)
     for ph in range(4):
-        oy, ox = oy_all[ph], ox_all[ph]
-        big = big.at[ph, :, :, oy[0] - lo_y:oy[0] - lo_y + len(oy),
-                     ox[0] - lo_x:ox[0] - lo_x + len(ox)].set(subs[ph])
-    bigk = big.reshape(4 * out_c, in_c, big.shape[3], big.shape[4])
+        a, bp = divmod(ph, 2)
+        for t in range(kk):
+            if (a + t - pad0) % 2:
+                continue
+            y = (a + t - pad0) // 2 - lo_y
+            for u in range(kk):
+                if (bp + u - pad0) % 2:
+                    continue
+                sc[ph, t, u, y, (bp + u - pad0) // 2 - lo_x] = 1.0
+    big = jnp.einsum("oitu,ptuyx->poiyx", comp, jnp.asarray(sc),
+                     preferred_element_type=jnp.float32)
+    bigk = big.reshape(4 * out_c, in_c, ny, nx)
     out = jax.lax.conv_general_dilated(
         xm, bigk.astype(x.dtype), (1, 1),
         ((-lo_y, hi_y), (-lo_x, hi_x)),
@@ -136,20 +150,38 @@ def up_modconv_folded(x, style, weight, mod_weight, mod_bias,
     return out * jnp.tile(demod, (1, 4)).astype(x.dtype)[:, None, None, :]
 
 
-def _folded_plain_kernel(w0):
-    """(O, I, 3, 3) -> the folded (4·O, 4·I, 3, 3) kernel of the same
-    stride-1 image-space conv acting on 2×2-folded tensors."""
-    out_c, in_c, kh, kw = w0.shape
-    assert kh == 3 and kw == 3, "folded form derived for 3x3"
-    k = jnp.zeros((4, out_c, 4, in_c, 3, 3), w0.dtype)
+def _folded_scatter_const():
+    """Constant 0/1 tensor T[p, u, v, q, t, s]: the fixed linear map
+    taking w0[o, i, u, v] to the folded kernel position
+    [p, o, q, i, t, s] (p = out phase a·2+bp, q = in phase, (t, s) the
+    folded tap).  Injective per p — the einsum sum never overlaps."""
+    T = np.zeros((4, 3, 3, 4, 3, 3), np.float32)
     for a in (0, 1):
         for u in range(3):
             t, q = divmod(a + u - 1, 2)
             for bp in (0, 1):
                 for v in range(3):
                     s_, r = divmod(bp + v - 1, 2)
-                    k = k.at[a * 2 + bp, :, q * 2 + r, :,
-                             t + 1, s_ + 1].set(w0[:, :, u, v])
+                    T[a * 2 + bp, u, v, q * 2 + r, t + 1, s_ + 1] = 1.0
+    return T
+
+
+_FOLDED_SCATTER = _folded_scatter_const()
+
+
+def _folded_plain_kernel(w0):
+    """(O, I, 3, 3) -> the folded (4·O, 4·I, 3, 3) kernel of the same
+    stride-1 image-space conv acting on 2×2-folded tensors.
+
+    ONE einsum against a constant scatter tensor — the equivalent
+    .at[].set() build is 36 chained dynamic-update-slice fusions at
+    runtime (w0 is a parameter, not foldable), measured ~15 ms/chunk
+    serial on chip (PERF.md r5 fusion-lane decomposition)."""
+    out_c, in_c, kh, kw = w0.shape
+    assert kh == 3 and kw == 3, "folded form derived for 3x3"
+    k = jnp.einsum("oiuv,puvqts->poqits", w0.astype(jnp.float32),
+                   jnp.asarray(_FOLDED_SCATTER),
+                   preferred_element_type=jnp.float32).astype(w0.dtype)
     return k.reshape(4 * out_c, 4 * in_c, 3, 3)
 
 
@@ -255,20 +287,24 @@ def up_modconv_wfolded(x, style, weight, mod_weight, mod_bias,
     for a in (0, 1):                       # output row parity
         ty = [t for t in range(kk) if (a + t - pad0) % 2 == 0]
         oy = [(a + t - pad0) // 2 for t in ty]
-        sub_bp, ox_all = [], []
+        ox_all = []
         for bp in (0, 1):                  # output col parity -> channels
             tx = [t for t in range(kk) if (bp + t - pad0) % 2 == 0]
             ox_all.append([(bp + t - pad0) // 2 for t in tx])
-            sub_bp.append(comp[:, :, ty][:, :, :, tx])
         lo_x = min(o[0] for o in ox_all)
         hi_x = max(o[-1] for o in ox_all)
-        big = jnp.zeros((2, out_c, in_c, len(ty), hi_x - lo_x + 1),
-                        jnp.float32)
+        nx = hi_x - lo_x + 1
+        # constant scatter einsum, not a runtime DUS build (see
+        # _folded_scatter_const rationale)
+        sc = np.zeros((2, kk, nx), np.float32)
         for bp in range(2):
-            ox = ox_all[bp]
-            big = big.at[bp, :, :, :,
-                         ox[0] - lo_x:ox[0] - lo_x + len(ox)].set(sub_bp[bp])
-        bigk = big.reshape(2 * out_c, in_c, len(ty), hi_x - lo_x + 1)
+            for u in range(kk):
+                if (bp + u - pad0) % 2 == 0:
+                    sc[bp, u, (bp + u - pad0) // 2 - lo_x] = 1.0
+        big = jnp.einsum("oiju,pux->poijx", comp[:, :, ty],
+                         jnp.asarray(sc),
+                         preferred_element_type=jnp.float32)
+        bigk = big.reshape(2 * out_c, in_c, len(ty), nx)
         o = jax.lax.conv_general_dilated(
             xm, bigk.astype(x.dtype), (1, 1),
             ((-min(oy), max(oy)), (-lo_x, hi_x)),
@@ -279,16 +315,29 @@ def up_modconv_wfolded(x, style, weight, mod_weight, mod_bias,
     return y * jnp.tile(demod, (1, 2)).astype(x.dtype)[:, None, None, :]
 
 
-def _wfolded_plain_kernel(w0):
-    """(O, I, 3, 3) -> the W-folded (2O, 2I, 3, 3) kernel of the same
-    stride-1 image-space conv acting on 2×1-W-folded tensors."""
-    out_c, in_c, kh, kw = w0.shape
-    assert kh == 3 and kw == 3, "W-folded form derived for 3x3"
-    k = jnp.zeros((2, out_c, 2, in_c, 3, 3), w0.dtype)
+def _wfolded_scatter_const():
+    """Constant 0/1 tensor T[p, v, q, s] for the W-folded kernel build
+    (same DUS-avoidance rationale as _folded_scatter_const)."""
+    T = np.zeros((2, 3, 2, 3), np.float32)
     for px in (0, 1):
         for v in range(3):
             s_, q = divmod(px + v - 1, 2)
-            k = k.at[px, :, q, :, :, s_ + 1].set(w0[:, :, :, v])
+            T[px, v, q, s_ + 1] = 1.0
+    return T
+
+
+_WFOLDED_SCATTER = _wfolded_scatter_const()
+
+
+def _wfolded_plain_kernel(w0):
+    """(O, I, 3, 3) -> the W-folded (2O, 2I, 3, 3) kernel of the same
+    stride-1 image-space conv acting on 2×1-W-folded tensors.  One
+    einsum against a constant scatter — not a runtime DUS chain."""
+    out_c, in_c, kh, kw = w0.shape
+    assert kh == 3 and kw == 3, "W-folded form derived for 3x3"
+    k = jnp.einsum("oiuv,pvqs->poqius", w0.astype(jnp.float32),
+                   jnp.asarray(_WFOLDED_SCATTER),
+                   preferred_element_type=jnp.float32).astype(w0.dtype)
     return k.reshape(2 * out_c, 2 * in_c, 3, 3)
 
 

@@ -30,26 +30,21 @@ from ..config import CHANNELS_MAP, FloatConfig
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def synthesis_flops_per_frame(size: int = 512, dim_w: int = 512,
-                              channels_map: Dict[int, int] = None) -> dict:
-    """Per-frame FLOPs of one Synthesis decode at ``size``².
-
-    Structure (models/synthesis.py synthesis_cl, mirroring reference
-    styledecoder.py:447-534): ConstantInput 4² -> conv1 (3x3) -> per
-    level [up StyledConv 3x3 (2x), StyledConv 3x3, ToFlow 1x1, warp,
-    ToRGB 1x1 + skip upsample].
-    """
+def synthesis_flops_per_level(size: int = 512, dim_w: int = 512,
+                              channels_map: Dict[int, int] = None) -> list:
+    """Per-LEVEL (res², MXU FLOPs, VPU FLOPs) of one Synthesis decode —
+    the analytic side of the fusion-lane MXU/VPU decomposition
+    (experiments/chunk_breakdown.py classify_fusions is the measured
+    side).  Level 4 is conv1; 8..size are the pyramid levels."""
     cm = channels_map or CHANNELS_MAP
-    mxu = 0.0     # conv / matmul MACs * 2
-    vpu = 0.0     # elementwise FMAs * 2 (blur taps, warp taps, modulation)
 
     def conv(h, w, cin, cout, k):
         return 2.0 * h * w * cin * cout * k * k
 
-    # conv1: 3x3 at 4²
+    out = []
     c4 = cm[4]
-    mxu += conv(4, 4, c4, c4, 3)
-    vpu += 3 * 4 * 4 * c4 * 2            # modulation + demod + lrelu
+    # conv1: 3x3 at 4² (+ modulation + demod + lrelu)
+    out.append((4, conv(4, 4, c4, c4, 3), 3 * 4 * 4 * c4 * 2.0))
 
     n_levels = int(math.log2(size)) - 2   # 8² .. size²
     inc = c4
@@ -57,6 +52,7 @@ def synthesis_flops_per_frame(size: int = 512, dim_w: int = 512,
         res = 2 ** (lvl + 3)
         outc = cm[res]
         h = w = res
+        mxu = vpu = 0.0
         # up StyledConv: transposed 3x3 producing res² from (res/2)²
         # = res²·inc·outc·9 MACs (stride-2 transposed conv touches each
         # output once per tap), + 4-tap² separable blur (upfirdn)
@@ -81,7 +77,23 @@ def synthesis_flops_per_frame(size: int = 512, dim_w: int = 512,
         # ToRGB 1x1 out->3 + skip upsample blur on 3ch
         mxu += conv(h, w, outc, 3, 1)
         vpu += 2.0 * h * w * 3 * 8
+        out.append((res, mxu, vpu))
         inc = outc
+    return out
+
+
+def synthesis_flops_per_frame(size: int = 512, dim_w: int = 512,
+                              channels_map: Dict[int, int] = None) -> dict:
+    """Per-frame FLOPs of one Synthesis decode at ``size``².
+
+    Structure (models/synthesis.py synthesis_cl, mirroring reference
+    styledecoder.py:447-534): ConstantInput 4² -> conv1 (3x3) -> per
+    level [up StyledConv 3x3 (2x), StyledConv 3x3, ToFlow 1x1, warp,
+    ToRGB 1x1 + skip upsample].
+    """
+    levels = synthesis_flops_per_level(size, dim_w, channels_map)
+    mxu = sum(m for _r, m, _v in levels)
+    vpu = sum(v for _r, _m, v in levels)
     return {"mxu_flops": mxu, "vpu_flops": vpu, "total_flops": mxu + vpu}
 
 
