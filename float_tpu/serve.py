@@ -184,6 +184,12 @@ class _LatencyWindow:
         with self._lock:
             self._d.append(seconds)
 
+    def reset(self) -> None:
+        """Drop recorded samples (load benches call this after their warm
+        phase so compile-time latencies don't pollute the percentiles)."""
+        with self._lock:
+            self._d.clear()
+
     def summary(self) -> Optional[Dict[str, float]]:
         with self._lock:
             vals = sorted(self._d)

@@ -114,8 +114,19 @@ def main():
         if cur == prev:
             break
         prev = cur
+    # the jpeg delivery lane rides the yuv420 device wire — warm its
+    # chunk programs + the host jpeg pool too, or the delivered-fps A/B
+    # times a compile (observed: 7.8 "fps" with the compile inside)
+    for _s, _f in cli.stream(img, audio, seed=200, first_chunk=8,
+                             encoding="jpeg", quality=85):
+        pass
     print(f"# warm done in {time.perf_counter() - t0:.1f}s "
           f"({w + 1} rounds, ratchet {prev})", file=sys.stderr)
+    # drop warm-phase samples (multi-minute compiles) from the server's
+    # latency percentiles: the load numbers should describe the LOAD
+    srv = httpd.RequestHandlerClass.srv
+    srv.latency.reset()
+    srv.lock_wait.reset()
     base = cli.metrics()
 
     results = {"mp4": [], "stream": [], "ttfc": []}
@@ -162,16 +173,23 @@ def main():
     def med(xs):
         return round(sorted(xs)[len(xs) // 2], 3) if xs else None
 
-    # -- delivered-fps A/B: raw vs jpeg stream encoding (solo client) ----
+    # -- delivered-fps A/B: raw vs jpeg stream encoding (solo client,
+    # best of 2 — the dev tunnel's throughput wanders ±10% and a single
+    # pass can catch a bad patch) ----------------------------------------
     deliv = {}
     for enc in ("raw", "jpeg"):
         kw = {} if enc == "raw" else {"encoding": "jpeg", "quality": 85}
-        t0 = time.perf_counter()
-        nf = nb = 0
-        for _s, frames in cli.stream(img, audio, seed=77, first_chunk=8,
-                                     **kw):
-            nf += frames.shape[0]
-        dt = time.perf_counter() - t0
+        best = None
+        for rep in range(2):
+            t0 = time.perf_counter()
+            nf = 0
+            for _s, frames in cli.stream(img, audio, seed=77 + rep,
+                                         first_chunk=8, **kw):
+                nf += frames.shape[0]
+            dt = time.perf_counter() - t0
+            if best is None or dt < best[0]:
+                best = (dt, nf)
+        dt, nf = best
         deliv[enc] = {"frames": nf, "wall_s": round(dt, 2),
                       "delivered_fps": round(nf / dt, 1)}
     # wire bytes per frame (loopback hides the network; report size)
