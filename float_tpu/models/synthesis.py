@@ -474,7 +474,8 @@ def n_kernel_levels(size: int) -> int:
 def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                  blur_kernel=(1, 3, 3, 1), warp_disp=2,
                  collect_flow_stats: bool = False,
-                 apply_fixup: bool = True, warp_path="auto"):
+                 apply_fixup: bool = True, warp_path="auto",
+                 probe: bool = True):
     """Channels-last synthesis forward — identical math to `synthesis` but
     NHWC end-to-end so the warp kernels run without layout transposes.
 
@@ -506,6 +507,20 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
     """
     assert apply_fixup or collect_flow_stats, \
         "optimistic mode reports flags via the stats return"
+
+    def _probe_stat(fl, res):
+        # ``probe=False`` (steady-state decode): the displacement probe
+        # is advisory-only — correctness and regime-change detection come
+        # from the kernels' in-SMEM overflow/spread flags — so once the
+        # warp ratchets converge the decode drops these fusions (~3 ms of
+        # a ~55 ms 512² chunk, measured e2e +5.4%: experiments/
+        # probe_lane_bench.py).  Zero stats never grow the monotone
+        # ratchet; an overflow flag with a zero stat bumps D by 1
+        # (decode._sync_stats_flags) and probing resumes.
+        if probe:
+            from ..ops.nhwc import flow_needed_disp
+            return flow_needed_disp(fl[: min(2, fl.shape[0])], res, res)
+        return jnp.asarray(0, jnp.int32)
 
     b = wa.shape[0]
     log_size = int(math.log2(size))
@@ -572,9 +587,7 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                 max_disp=lvl_d, warp_path=lvl_p)
             ovf_flags.append(ovf)
             if collect_flow_stats and res >= 128:
-                from ..ops.nhwc import flow_needed_disp
-                flow_stats.append(
-                    flow_needed_disp(fl[: min(2, fl.shape[0])], res, res))
+                flow_stats.append(_probe_stat(fl, res))
             continue
         # middle levels at half lane occupancy (256²/C=64): 2×1 W-folded
         # conv chain + folded merge; the fold boundaries are index-
@@ -608,9 +621,7 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
                 ovf_flags.append(ovf)
             out = wunfold(merged_f)
             if collect_flow_stats and res >= 128:
-                from ..ops.nhwc import flow_needed_disp
-                flow_stats.append(
-                    flow_needed_disp(fl[: min(2, fl.shape[0])], res, res))
+                flow_stats.append(_probe_stat(fl, res))
             skip = _to_rgb_wfolded(out_warp_f, to_rgbs[str(lvl)], skip,
                                    blur_kernel=blur_kernel)
             continue
@@ -648,15 +659,14 @@ def synthesis_cl(params, wa, feats_cl, size: int, use_warp_kernel: bool = True,
             if res == 64:
                 flow64 = fl
             if collect_flow_stats and res >= 128:
-                from ..ops.nhwc import flow_needed_disp
                 # stats are advisory (the ratchet's D only sizes the fast
                 # path; exactness comes from the fixup, and since r3 the
                 # kernels' in-SMEM overflow flag bumps the ratchet when
                 # the subset misses a big flow): a 2-frame subset keeps
                 # the per-chunk probe cost minimal while still giving the
-                # direct D jump on regime changes
-                flow_stats.append(
-                    flow_needed_disp(fl[: min(2, fl.shape[0])], res, res))
+                # direct D jump on regime changes, and steady-state
+                # dispatch drops the probe entirely (probe=False above)
+                flow_stats.append(_probe_stat(fl, res))
             if not packed_last:
                 skip = _to_rgb_cl(out_warp, to_rgbs[str(lvl)], skip,
                                   blur_kernel=blur_kernel)

@@ -213,7 +213,7 @@ class FloatPipeline:
                 "decode_chunk", _decode_chunk,
                 ("size", "out_u8", "channels_last", "blur_kernel",
                  "warp_disp", "with_stats", "fixup", "warp_path",
-                 "use_warp_kernel"))
+                 "use_warp_kernel", "probe"))
             # the AOT wrapper compiles per (shape, statics) key, so the
             # remainder-chunk bucket programs cache fine — keep the
             # measured bucketing win (decode._supports_buckets)
